@@ -1,0 +1,29 @@
+"""CMacIonize-TPU: a TPU-native Monte Carlo photoionization + RHD framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of CMacIonize
+(bwvdnbro/CMacIonize): Monte Carlo radiative transfer of ionizing photons
+through density grids, photoionization/thermal balance, and finite-volume
+radiation hydrodynamics — built for TPU hardware:
+
+- photon packets live in fixed-shape batched arrays and are advanced in
+  lockstep supersteps (replacing the reference's task-based scheduler,
+  cf. /root/reference/src/TaskBasedIonizationSimulation.cpp);
+- cell state is a struct-of-arrays pytree sharded over a `jax.sharding.Mesh`
+  (replacing DensitySubGrid tiling + MPI, cf.
+  /root/reference/src/DensitySubGridCreator.hpp);
+- tallies are deterministic scatter-adds; collectives (psum/ppermute) replace
+  MPI reductions and the designed-but-unfinished distributed subgrid exchange.
+
+Package layout:
+    utils/     config (YAML + physical units), logging, timers, restart
+    ops/       compute kernels: photon traversal, ionization & temperature
+               solvers, line cooling, Riemann solvers, hydro stencils
+    models/    grid state, density functions, sources & spectra, simulation
+               drivers (ionization, RHD, dust, emissivity)
+    parallel/  device mesh, photon-parallel and domain-decomposed drivers
+    io/        Gadget-layout HDF5 snapshots, snapshot readers, restart files
+"""
+
+__version__ = "0.1.0"
+
+from cmacionize_tpu import constants  # noqa: F401

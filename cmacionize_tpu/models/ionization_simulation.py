@@ -1,0 +1,191 @@
+"""Monte Carlo photoionization simulation driver (single-chip fast path).
+
+TPU-native equivalent of the reference's IonizationSimulation /
+TaskBasedIonizationSimulation run loop
+(/root/reference/src/IonizationSimulation.cpp:334-679,
+/root/reference/src/TaskBasedIonizationSimulation.cpp:643-1061): per
+iteration, reset tallies → emit and trace all photon packets (one lockstep
+batched traversal instead of a task scheduler) → normalize tallies →
+per-cell ionization balance.  The whole iteration is one jitted function; the
+Python loop over iterations only orchestrates logging and snapshots.
+
+This module implements the hydrogen-only monochromatic fast path (the
+stromgren benchmark family).  The multi-element path plugs in the multifreq
+traversal + coupled H/He/metal solvers from cmacionize_tpu.ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmacionize_tpu.models import sources
+from cmacionize_tpu.models.grid import GridGeometry
+from cmacionize_tpu.ops import ionization, traversal
+from cmacionize_tpu.utils.logging import Log, NullLog
+
+
+@dataclasses.dataclass(frozen=True)
+class HOnlyConfig:
+    """Static configuration of a hydrogen-only monochromatic simulation."""
+
+    geometry: GridGeometry
+    number_density: float  # m^-3 (homogeneous; fields also supported via run())
+    temperature: float  # K
+    source_position: Tuple[float, float, float]  # SI
+    luminosity: float  # photons / s
+    cross_section: float  # m^2 (at the source frequency)
+    recombination_rate: float  # m^3 s^-1
+    n_photons: int
+    n_iterations: int
+    initial_neutral_fraction: float = 1.0e-6
+
+    @classmethod
+    def from_params(cls, params) -> "HOnlyConfig":
+        geometry = GridGeometry.from_params(params)
+        return cls(
+            geometry=geometry,
+            number_density=params.get_physical_value(
+                "DensityFunction:density", "number density", "100. cm^-3"
+            ),
+            temperature=params.get_physical_value(
+                "DensityFunction:temperature", "temperature", "8000. K"
+            ),
+            source_position=tuple(
+                params.get_physical_vector(
+                    "PhotonSourceDistribution:position",
+                    "length",
+                    ["0. m", "0. m", "0. m"],
+                )
+            ),
+            luminosity=params.get_physical_value(
+                "PhotonSourceDistribution:luminosity", "frequency", "4.26e49 s^-1"
+            ),
+            cross_section=params.get_physical_value(
+                "CrossSections:hydrogen_0", "surface area", "6.3e-18 cm^2"
+            ),
+            recombination_rate=params.get_physical_value(
+                "RecombinationRates:hydrogen_1", "reaction rate", "4.e-13 cm^3 s^-1"
+            ),
+            n_photons=params.get_int("IonizationSimulation:number of photons", 1000000),
+            n_iterations=params.get_int(
+                "IonizationSimulation:number of iterations", 20
+            ),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "periodic", "n_photons", "sigma_dx", "max_steps"),
+    donate_argnames=("neutral_fraction",),
+)
+def h_only_iteration(
+    key,
+    neutral_fraction,
+    number_density,
+    *,
+    shape,
+    periodic,
+    n_photons,
+    sigma_dx,  # sigma * cell_size (static python float — folded into chi)
+    source_gpos,
+    jfac_scale,  # L * sigma * dx / (W_tot * V_cell): tally → jH
+    alpha,
+    max_steps=0,
+):
+    """One Monte Carlo iteration: emit → trace → normalize → H balance.
+
+    Returns (new_neutral_fraction [shape], jH [shape], n_escaped scalar).
+    """
+    chi = (number_density * neutral_fraction * sigma_dx).reshape(-1)
+    px, py, pz, dx, dy, dz, tau, _, weight = sources.emit_point_source(
+        key, n_photons, source_gpos
+    )
+    position = jnp.stack([px, py, pz], axis=1)
+    direction = jnp.stack([dx, dy, dz], axis=1)
+    packets = traversal.make_packets(position, direction, tau, weight, shape)
+    tally = jnp.zeros(chi.shape, chi.dtype)
+    tally, packets = traversal.trace_packets(
+        chi, packets, tally,
+        shape=shape, periodic=periodic, max_steps=max_steps,
+    )
+    jH = tally.reshape(shape) * jfac_scale
+    new_x = ionization.hydrogen_neutral_fraction(jH, number_density, alpha)
+    n_escaped = jnp.sum(~packets.absorbed)
+    return new_x, jH, n_escaped
+
+
+class HOnlyIonizationSimulation:
+    """Driver: owns config + grid arrays, runs the iteration loop."""
+
+    def __init__(self, config: HOnlyConfig, log: Optional[Log] = None, seed: int = 42):
+        geom = config.geometry
+        cell = geom.cell_size
+        if not np.allclose(cell, cell[0], rtol=1e-6):
+            raise NotImplementedError(
+                "traversal currently requires cubic cells; got cell size "
+                f"{cell}"
+            )
+        self.config = config
+        self.log = log or NullLog()
+        self.key = jax.random.PRNGKey(seed)
+        self.geometry = geom
+        self.dx = float(cell[0])
+        self.number_density = jnp.full(
+            geom.shape, config.number_density, jnp.float32
+        )
+        self.neutral_fraction = jnp.full(
+            geom.shape, config.initial_neutral_fraction, jnp.float32
+        )
+        self.jH = jnp.zeros(geom.shape, jnp.float32)
+        self._source_gpos = tuple(
+            float(g) for g in geom.position_to_grid_coords(config.source_position)
+        )
+
+    def run(self, n_iterations: Optional[int] = None):
+        cfg = self.config
+        n_iterations = n_iterations or cfg.n_iterations
+        sigma_dx = cfg.cross_section * self.dx
+        jfac_scale = (
+            cfg.luminosity
+            * cfg.cross_section
+            * self.dx
+            / (cfg.n_photons * self.geometry.cell_volume)
+        )
+        for iteration in range(n_iterations):
+            self.key, subkey = jax.random.split(self.key)
+            self.neutral_fraction, self.jH, n_escaped = h_only_iteration(
+                subkey,
+                self.neutral_fraction,
+                self.number_density,
+                shape=self.geometry.shape,
+                periodic=self.geometry.periodic,
+                n_photons=cfg.n_photons,
+                sigma_dx=sigma_dx,
+                source_gpos=self._source_gpos,
+                jfac_scale=jfac_scale,
+                alpha=cfg.recombination_rate,
+            )
+            self.log.info(
+                f"iteration {iteration + 1}/{n_iterations}: "
+                f"{int(n_escaped)} / {cfg.n_photons} photons escaped"
+            )
+        return self.neutral_fraction
+
+    def stromgren_radius_analytic(self) -> float:
+        """Analytic Strömgren radius for the homogeneous H-only setup (m),
+        cf. /root/reference/benchmarks/stromgren.py:45-55."""
+        cfg = self.config
+        return float(
+            (
+                0.75
+                * cfg.luminosity
+                / (np.pi * cfg.number_density**2 * cfg.recombination_rate)
+            )
+            ** (1.0 / 3.0)
+        )

@@ -1,0 +1,125 @@
+"""Photon sources: spatial distributions and spectra.
+
+Replaces the reference's PhotonSourceDistribution / PhotonSourceSpectrum
+factories (/root/reference/src/PhotonSourceDistributionFactory.hpp:106-128,
+PhotonSourceSpectrumFactory.hpp:93-114).  Emission is *sampling*: a source
+model turns a PRNG key into fixed-shape arrays of packet positions,
+directions, target optical depths and frequencies, which feed straight into
+the traversal kernel — the reference's per-photon `get_random_photon`
+(/root/reference/src/PhotonSource.cpp:189-256) becomes one vectorized draw.
+
+Spectra sample frequencies by tabulated inverse-CDF lookup, the same scheme
+as the reference's 1000-bin spectrum tables
+(/root/reference/src/PlanckPhotonSourceSpectrum.cpp:58-110).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmacionize_tpu import constants
+
+
+def isotropic_directions(key, n: int, dtype=jnp.float32):
+    """Sample n isotropic unit vectors → ([n] dx, [n] dy, [n] dz)."""
+    key_cos, key_phi = jax.random.split(key)
+    cos_theta = jax.random.uniform(key_cos, (n,), dtype, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = jax.random.uniform(key_phi, (n,), dtype, 0.0, 2.0 * np.pi)
+    return sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta
+
+
+def sample_tau_targets(key, n: int, dtype=jnp.float32):
+    """Target optical depths τ = -ln ξ (cf. IonizationPhotonShootJob)."""
+    xi = jax.random.uniform(key, (n,), dtype, 0.0, 1.0)
+    # 1-ξ avoids log(0); ξ ∈ [0, 1)
+    return -jnp.log1p(-xi)
+
+
+@dataclasses.dataclass(frozen=True)
+class PointSource:
+    """A discrete point source (SingleStar distribution,
+    /root/reference/src/SingleStarPhotonSourceDistribution.hpp)."""
+
+    position: Tuple[float, float, float]  # SI
+    luminosity: float  # ionizing photons / s
+
+
+@dataclasses.dataclass(frozen=True)
+class MonochromaticSpectrum:
+    """All photons at one frequency
+    (/root/reference/src/MonochromaticPhotonSourceSpectrum.hpp)."""
+
+    frequency: float  # Hz
+
+    def sample(self, key, n: int, dtype=jnp.float32):
+        return jnp.full((n,), self.frequency, dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class TabulatedSpectrum:
+    """Inverse-CDF sampling of a tabulated spectrum in photon-number space.
+
+    ``frequencies``/``cdf`` are 1D tables with cdf[0] = 0, cdf[-1] = 1.
+    """
+
+    frequencies: np.ndarray
+    cdf: np.ndarray
+
+    def sample(self, key, n: int, dtype=jnp.float32):
+        xi = jax.random.uniform(key, (n,), dtype, 0.0, 1.0)
+        freqs = jnp.asarray(self.frequencies, dtype)
+        cdf = jnp.asarray(self.cdf, dtype)
+        return jnp.interp(xi, cdf, freqs)
+
+
+def planck_spectrum(
+    temperature: float,
+    nu_min: float = 3.288e15,
+    nu_max: float = 4.0 * 3.288e15,
+    n_bins: int = 1000,
+) -> TabulatedSpectrum:
+    """Ionizing-range blackbody photon-number spectrum B_ν/(hν) ∝ ν²/(e^{hν/kT}-1).
+
+    Tabulated inverse CDF over [ν_ion_H, 4 ν_ion_H] with 1000 bins, matching
+    /root/reference/src/PlanckPhotonSourceSpectrum.cpp:58-110.
+    """
+    nu = np.linspace(nu_min, nu_max, n_bins)
+    x = constants.PLANCK * nu / (constants.BOLTZMANN * temperature)
+    # photon number density ∝ ν² / (exp(x) - 1); use expm1 for stability
+    pdf = nu**2 / np.expm1(x)
+    cdf = np.concatenate([[0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(nu))])
+    cdf /= cdf[-1]
+    return TabulatedSpectrum(frequencies=nu, cdf=cdf)
+
+
+def emit_point_source(
+    key,
+    n: int,
+    grid_position,
+    spectrum=None,
+    dtype=jnp.float32,
+    nudge: float = 1e-4,
+):
+    """Emit n packets from a point source at `grid_position` (cell units).
+
+    Returns SoA arrays (px, py, pz, dx, dy, dz, tau, freq_or_None, weight).
+    Positions are nudged a tiny fraction of a cell along the direction so
+    packets born exactly on a cell corner don't need degenerate zero-length
+    steps.
+    """
+    key_dir, key_tau, key_freq = jax.random.split(key, 3)
+    dx, dy, dz = isotropic_directions(key_dir, n, dtype)
+    tau = sample_tau_targets(key_tau, n, dtype)
+    gx, gy, gz = (jnp.asarray(g, dtype) for g in grid_position)
+    px = gx + nudge * dx
+    py = gy + nudge * dy
+    pz = gz + nudge * dz
+    freq = None if spectrum is None else spectrum.sample(key_freq, n, dtype)
+    weight = jnp.ones((n,), dtype)
+    return px, py, pz, dx, dy, dz, tau, freq, weight
