@@ -1,0 +1,129 @@
+"""Hydro tests: Riemann solvers on Toro problems, Sod tube integration.
+
+Mirrors the reference's testRiemannSolver.cpp / testHydro.cpp /
+testHydroIntegrator.cpp strategy: exact-solver spot values, HLLC
+symmetry/consistency, and a 1D Sod shock tube run on the 3D grid compared
+against the exact solution.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmacionize_tpu.ops import hydro, riemann
+
+GAMMA = 5.0 / 3.0
+
+
+def test_exact_solver_sod_star_state():
+    # Toro test 1 (gamma=1.4 classic values): p* ~ 0.30313, u* ~ 0.92745
+    p_star, u_star = riemann.exact_star_pressure(
+        jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(1.0),
+        jnp.asarray(0.125), jnp.asarray(0.0), jnp.asarray(0.1),
+        gamma=1.4,
+    )
+    assert float(p_star) == pytest.approx(0.30313, rel=1e-3)
+    assert float(u_star) == pytest.approx(0.92745, rel=1e-3)
+
+
+def test_hllc_consistency_uniform_flow():
+    # identical states: flux must equal the physical flux
+    rho, u, p = 1.3, 0.7, 2.1
+    f = riemann.hllc_flux(
+        *(jnp.asarray(v) for v in (rho, u, 0.2, -0.1, p)),
+        *(jnp.asarray(v) for v in (rho, u, 0.2, -0.1, p)),
+        gamma=GAMMA,
+    )
+    e = p / (GAMMA - 1) + 0.5 * rho * (u**2 + 0.2**2 + 0.1**2)
+    assert float(f.mass) == pytest.approx(rho * u, rel=1e-6)
+    assert float(f.mom_n) == pytest.approx(rho * u * u + p, rel=1e-6)
+    assert float(f.energy) == pytest.approx((e + p) * u, rel=1e-6)
+
+
+def test_hllc_symmetry():
+    # mirrored states -> mirrored flux (mass flux flips sign)
+    args_l = (1.0, 0.5, 0.0, 0.0, 1.0)
+    args_r = (0.5, -0.2, 0.0, 0.0, 0.3)
+    f1 = riemann.hllc_flux(
+        *(jnp.asarray(v) for v in args_l), *(jnp.asarray(v) for v in args_r),
+        gamma=GAMMA,
+    )
+    mirrored_l = (args_r[0], -args_r[1], 0.0, 0.0, args_r[4])
+    mirrored_r = (args_l[0], -args_l[1], 0.0, 0.0, args_l[4])
+    f2 = riemann.hllc_flux(
+        *(jnp.asarray(v) for v in mirrored_l),
+        *(jnp.asarray(v) for v in mirrored_r),
+        gamma=GAMMA,
+    )
+    assert float(f1.mass) == pytest.approx(-float(f2.mass), rel=1e-5, abs=1e-8)
+    assert float(f1.mom_n) == pytest.approx(float(f2.mom_n), rel=1e-5)
+    assert float(f1.energy) == pytest.approx(-float(f2.energy), rel=1e-5, abs=1e-8)
+
+
+def _run_sod(n=128, t_end=0.2):
+    shape = (n, 4, 4)
+    dx = 1.0 / n
+    x = (np.arange(n) + 0.5) * dx
+    rho = np.where(x < 0.5, 1.0, 0.125)
+    p = np.where(x < 0.5, 1.0, 0.1)
+    w = hydro.Primitives(
+        rho=jnp.asarray(np.broadcast_to(rho[:, None, None], shape), jnp.float32),
+        vx=jnp.zeros(shape, jnp.float32),
+        vy=jnp.zeros(shape, jnp.float32),
+        vz=jnp.zeros(shape, jnp.float32),
+        p=jnp.asarray(np.broadcast_to(p[:, None, None], shape), jnp.float32),
+    )
+    u = hydro.conserved_from_primitives(w, GAMMA)
+    boundaries = (
+        (hydro.BC_OUTFLOW, hydro.BC_OUTFLOW),
+        (hydro.BC_PERIODIC, hydro.BC_PERIODIC),
+        (hydro.BC_PERIODIC, hydro.BC_PERIODIC),
+    )
+    cell_size = (dx, dx, dx)
+    t = 0.0
+    while t < t_end:
+        dt = min(float(hydro.cfl_timestep(u, cell_size, cfl=0.4, gamma=GAMMA)),
+                 t_end - t)
+        u = hydro.hydro_step(
+            u, dt, boundaries=boundaries, cell_size=cell_size, gamma=GAMMA
+        )
+        t += dt
+    return x, u
+
+
+def test_sod_tube_vs_exact():
+    x, u = _run_sod()
+    w = hydro.primitives_from_conserved(u, GAMMA)
+    rho_num = np.asarray(w.rho[:, 2, 2])
+    # exact solution sampled at s = (x - 0.5)/t
+    s = jnp.asarray((x - 0.5) / 0.2, jnp.float32)
+    rho_ex, u_ex, p_ex = riemann.exact_sample(
+        jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(1.0),
+        jnp.asarray(0.125), jnp.asarray(0.0), jnp.asarray(0.1),
+        s, gamma=GAMMA,
+    )
+    rho_ex = np.asarray(rho_ex)
+    l1 = np.abs(rho_num - rho_ex).mean()
+    assert l1 < 0.012, f"Sod L1 density error too large: {l1}"
+    # conservation of mass (16 y-z columns of 128 cells, dx = 1/128)
+    assert float(jnp.sum(u.rho)) * (1.0 / 128) / 16 == pytest.approx(
+        (1.0 + 0.125) / 2, rel=1e-4
+    )
+
+
+def test_uniform_state_is_steady():
+    shape = (8, 8, 8)
+    w = hydro.Primitives(
+        rho=jnp.full(shape, 1.0, jnp.float32),
+        vx=jnp.full(shape, 0.3, jnp.float32),
+        vy=jnp.full(shape, -0.1, jnp.float32),
+        vz=jnp.full(shape, 0.2, jnp.float32),
+        p=jnp.full(shape, 2.0, jnp.float32),
+    )
+    u = hydro.conserved_from_primitives(w, GAMMA)
+    boundaries = ((hydro.BC_PERIODIC,) * 2,) * 3
+    u2 = hydro.hydro_step(
+        u, 0.01, boundaries=boundaries, cell_size=(0.1, 0.1, 0.1), gamma=GAMMA
+    )
+    for a, b in zip(u, u2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
