@@ -1,0 +1,83 @@
+"""Golden-data tests for cross sections and recombination rates.
+
+Reuses the reference's checked-in Fortran-validated fixtures
+(/root/reference/test/verner_testdata.txt, verner_rec_testdata.txt) when the
+reference mount is present, plus standalone spot checks so the suite still
+guards the physics without the mount.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cmacionize_tpu import constants
+from cmacionize_tpu.models import ions
+from cmacionize_tpu.ops import cross_sections, recombination
+
+REF_TEST = "/root/reference/test"
+
+# fixture column order (both files), cf. testVernerCrossSections.cpp:52-57
+FIXTURE_IONS = [
+    "H_n", "He_n", "C_p1", "C_p2", "N_n", "N_p1", "N_p2",
+    "O_n", "O_p1", "Ne_n", "Ne_p1", "S_p1", "S_p2", "S_p3",
+]
+
+
+def _load_fixture(name):
+    rows = []
+    with open(os.path.join(REF_TEST, name)) as fh:
+        for line in fh:
+            if line.strip().startswith("#") or not line.strip():
+                continue
+            rows.append([float(v) for v in line.split()])
+    return np.asarray(rows)
+
+
+def test_hydrogen_cross_section_at_threshold():
+    # sigma_H(13.6 eV) ~ 6.30e-22 m^2 (the canonical value)
+    nu = 13.60 * constants.ELECTRONVOLT / constants.PLANCK
+    sigma = cross_sections.ion_cross_section("H_n", np.asarray([nu * 1.0001]))
+    assert sigma[0] == pytest.approx(6.30e-22, rel=0.02)
+    # below threshold: zero
+    sigma0 = cross_sections.ion_cross_section("H_n", np.asarray([nu * 0.99]))
+    assert sigma0[0] == 0.0
+
+
+def test_hydrogen_recombination_canonical():
+    # alpha_B-ish value at 1e4 K from the Verner & Ferland fit: ~4.17e-13 cm³/s
+    rate = float(recombination.recombination_rate("H_n", 1e4))
+    assert rate == pytest.approx(4.17e-19, rel=0.03)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST), reason="reference not mounted")
+def test_cross_sections_golden():
+    data = _load_fixture("verner_testdata.txt")
+    freqs = data[:, 0] * 13.6 * constants.ELECTRONVOLT / constants.PLANCK
+    table = cross_sections.tabulate_cross_sections(freqs, FIXTURE_IONS)
+    # fixture stores sigma in 1e-18 cm^2 = 1e-22 m^2
+    expected = data[:, 1:].T * 1e-22
+    np.testing.assert_allclose(table, expected, rtol=1e-8, atol=1e-40)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST), reason="reference not mounted")
+def test_recombination_rates_golden():
+    data = _load_fixture("verner_rec_testdata.txt")
+    temps = data[:, 0]
+    for i, name in enumerate(FIXTURE_IONS):
+        got = np.asarray(
+            [float(recombination.recombination_rate(name, T)) for T in temps]
+        )
+        # fixture stores rates in cm^3/s
+        expected = data[:, 1 + i] * 1e-6
+        np.testing.assert_allclose(got, expected, rtol=1e-5, err_msg=name)
+
+
+def test_full_ion_table_shapes():
+    freqs = np.linspace(3.3e15, 1.3e16, 100)
+    table = cross_sections.tabulate_cross_sections(freqs)
+    assert table.shape == (ions.NUMBER_OF_IONS, 100)
+    assert np.all(table >= 0)
+    rates = recombination.recombination_rates_all(np.asarray([8000.0, 1e4]))
+    assert rates.shape == (ions.NUMBER_OF_IONS, 2)
+    assert bool(np.all(np.asarray(rates) > 0))
