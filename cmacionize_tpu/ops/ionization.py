@@ -44,3 +44,172 @@ def normalize_mean_intensity(tally, luminosity, total_weight, cell_volume):
     /root/reference/src/IonizationStateCalculator.cpp:519,545.
     """
     return tally * (luminosity / (total_weight * cell_volume))
+
+
+# ---------------------------------------------------------------------------
+# Coupled hydrogen–helium balance
+# ---------------------------------------------------------------------------
+
+
+def hydrogen_helium_neutral_fractions(
+    jH, jHe, nH, AHe, T, alphaH, alphaHe, n_iterations: int = 20
+):
+    """Coupled H–He photoionization equilibrium (vectorized fixed point).
+
+    Physics follows `compute_ionization_states_hydrogen_helium`
+    (/root/reference/src/IonizationStateCalculator.cpp:649-760): the He
+    balance feeds back on H through on-the-spot absorption of He Lyman
+    photons (pHots factor).  The reference iterates per cell with a 1e-4
+    tolerance (≤ 20 iterations); here every cell runs a fixed ``n_iterations``
+    sweeps with the reference's >10-iteration averaging damping — identical
+    fixed points, lockstep execution.
+
+    Both quadratic solutions are written in conjugate (cancellation-free)
+    form so f32 is sufficient (the reference needs a Taylor fallback branch
+    in f64, :723-760).
+
+    Returns (h0, he0) neutral fractions.
+    """
+    jH = jnp.asarray(jH)
+    safe_jH = jnp.where(jH > 0.0, jH, 1.0)
+    safe_jHe = jnp.where(jHe > 0.0, jHe, 1.0)
+    has_jHe = jHe > 0.0
+
+    # effective He 2^1P recombination that pumps the H-ionizing continuum
+    alpha_e_2sP = 4.17e-20 * (T * 1.0e-4) ** (-0.861)
+    ch1 = alphaH * nH / safe_jH
+    ch2 = AHe * alpha_e_2sP * nH / safe_jH
+    che = jnp.where(has_jHe, alphaHe * nH / safe_jHe, 0.0)
+
+    # initial guesses, cf. reference :692-706
+    h0 = 0.99 * (1.0 - jnp.exp(-0.5 / ch1))
+    he0 = jnp.where(has_jHe, jnp.minimum(0.5 / jnp.maximum(che, 1e-30), 1.0), 1.0)
+
+    sqrtT_inv = 1.0 / jnp.sqrt(T)
+
+    def body(i, carry):
+        h0, he0 = carry
+        pHots = 1.0 / (1.0 + 77.0 * he0 * sqrtT_inv / jnp.maximum(h0, 1e-30))
+        ch = ch1 - ch2 * AHe * (1.0 - he0) * pHots / jnp.maximum(1.0 - h0, 1e-30)
+
+        # helium: AHe·che·y² - bhe·y + che·(1+AHe-h0) = 0, small root
+        bhe = (1.0 + 2.0 * AHe - h0) * che + 1.0
+        opAHeh0 = 1.0 + AHe - h0
+        disc_he = jnp.sqrt(
+            jnp.maximum(bhe * bhe - 4.0 * AHe * opAHeh0 * che * che, 0.0)
+        )
+        he0_new = 2.0 * che * opAHeh0 / (bhe + disc_he)
+        he0_new = jnp.where(che > 0.0, he0_new, 1.0)
+
+        # hydrogen: ch·x² - b·x + ch·(1+AHe-he0·AHe) = 0, small root
+        opA = 1.0 + AHe - he0_new * AHe
+        b = ch * (2.0 + AHe - he0_new * AHe) + 1.0
+        disc_h = jnp.sqrt(jnp.maximum(b * b - 4.0 * ch * ch * opA, 0.0))
+        h0_new = 2.0 * ch * opA / (b + disc_h)
+        h0_new = jnp.clip(h0_new, NEUTRAL_FRACTION_FLOOR, 1.0)
+        he0_new = jnp.clip(he0_new, 0.0, 1.0)
+
+        # averaging damping for slowly-converging cells (reference :744-747)
+        damp = i > 10
+        h0_out = jnp.where(damp, 0.5 * (h0_new + h0), h0_new)
+        he0_out = jnp.where(damp, 0.5 * (he0_new + he0), he0_new)
+        return (h0_out, he0_out)
+
+    import jax as _jax
+
+    h0, he0 = _jax.lax.fori_loop(0, n_iterations, body, (h0, he0))
+
+    # shortcut: negligible radiation → fully neutral (reference :670-675)
+    neutral = jH < 1.0e-20
+    h0 = jnp.where(neutral, 1.0, h0)
+    he0 = jnp.where(neutral, 1.0, he0)
+    return h0, he0
+
+
+# ---------------------------------------------------------------------------
+# Metal ionization chains (closed form)
+# ---------------------------------------------------------------------------
+
+
+def metal_ion_fractions(j, ne, T, nh0, nhe0, nhp, alphas):
+    """Closed-form coupled metal ionization chains with charge transfer.
+
+    Physics follows `compute_ionization_states_metals`
+    (/root/reference/src/IonizationStateCalculator.cpp:323-510): for each
+    element the stage ratios R(i+1, i) = j_i / (ne·α_i + CT terms) combine
+    into normalized stage fractions.  Following the reference's storage
+    convention, the returned fraction for slot "X_pk" is the fraction of the
+    *next* stage (the photoionization product of X_pk); e.g. x["N_n"] is the
+    N⁺ fraction and the N⁰ fraction is 1 - x[N_n] - x[N_p1] - x[N_p2].
+
+    Args:
+        j: dict name → photoionization rate field [cells] (s⁻¹)
+        ne: electron density (m⁻³)
+        nh0/nhe0/nhp: neutral H, neutral He, ionized H densities (m⁻³)
+        alphas: dict name → recombination rate (m³/s, at T)
+
+    Returns dict name → fraction field for the 12 metal slots.
+    """
+    from cmacionize_tpu.ops import charge_transfer as ct
+
+    t4 = T * 1.0e-4
+    safe_ne = jnp.maximum(ne, 1e-30)
+
+    def ratio(name, with_ion_H=False):
+        denom = safe_ne * alphas[name] + nh0 * ct.recombination_rate_H(name, t4)
+        denom = denom + nhe0 * ct.recombination_rate_He(name, t4)
+        numer = j[name]
+        if with_ion_H:
+            numer = numer + nhp * ct.ionization_rate_H(name, t4)
+        return numer / jnp.maximum(denom, 1e-300)
+
+    out = {}
+
+    # carbon: stages C+ / C++ / C+++ tracked via slots C_p1, C_p2.
+    # No CT term for C+ — negligible per the reference (:393-396)
+    C21 = j["C_p1"] / jnp.maximum(safe_ne * alphas["C_p1"], 1e-300)
+    C32 = ratio("C_p2")
+    C31 = C32 * C21
+    invC = 1.0 / (1.0 + C21 + C31)
+    out["C_p1"] = C21 * invC
+    out["C_p2"] = C31 * invC
+
+    # nitrogen
+    N21 = ratio("N_n", with_ion_H=True)
+    N32 = ratio("N_p1")
+    N43 = ratio("N_p2")
+    N31 = N32 * N21
+    N41 = N43 * N31
+    invN = 1.0 / (1.0 + N21 + N31 + N41)
+    out["N_n"] = N21 * invN
+    out["N_p1"] = N31 * invN
+    out["N_p2"] = N41 * invN
+
+    # oxygen
+    O21 = ratio("O_n", with_ion_H=True)
+    O32 = ratio("O_p1")
+    O31 = O32 * O21
+    invO = 1.0 / (1.0 + O21 + O31)
+    out["O_n"] = O21 * invO
+    out["O_p1"] = O31 * invO
+
+    # neon
+    Ne21 = j["Ne_n"] / jnp.maximum(safe_ne * alphas["Ne_n"], 1e-300)
+    Ne32 = ratio("Ne_p1")
+    Ne31 = Ne32 * Ne21
+    invNe = 1.0 / (1.0 + Ne21 + Ne31)
+    out["Ne_n"] = Ne21 * invNe
+    out["Ne_p1"] = Ne31 * invNe
+
+    # sulphur
+    S21 = ratio("S_p1")
+    S32 = ratio("S_p2")
+    S43 = ratio("S_p3")
+    S31 = S32 * S21
+    S41 = S43 * S31
+    invS = 1.0 / (1.0 + S21 + S31 + S41)
+    out["S_p1"] = S21 * invS
+    out["S_p2"] = S31 * invS
+    out["S_p3"] = S41 * invS
+
+    return out

@@ -81,3 +81,46 @@ def test_full_ion_table_shapes():
     rates = recombination.recombination_rates_all(np.asarray([8000.0, 1e4]))
     assert rates.shape == (ions.NUMBER_OF_IONS, 2)
     assert bool(np.all(np.asarray(rates) > 0))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST), reason="reference not mounted")
+def test_line_cooling_golden():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from cmacionize_tpu.ops import line_cooling
+
+    data = _load_fixture("linecool_testdata.txt")
+    T = data[:, 0]
+    ne = data[:, 1] * 1e6  # cm^-3 -> m^-3
+    abundances = data[:, 2:15]
+    expected = data[:, 15] * 1e-7  # erg/s -> W
+    got = np.asarray(line_cooling.cooling_rate(T, ne, abundances))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST), reason="reference not mounted")
+def test_charge_transfer_golden():
+    from cmacionize_tpu.ops import charge_transfer as ct
+
+    # (stage, atom) -> ion name, cf. testChargeTransferRates.cpp:49-76
+    ion_map = {
+        (4, 6): "C_p2",
+        (1, 7): "N_n", (2, 7): "N_n", (3, 7): "N_p1", (4, 7): "N_p2",
+        (1, 8): "O_n", (2, 8): "O_n", (3, 8): "O_p1",
+        (3, 10): "Ne_p1",
+        (3, 16): "S_p1", (4, 16): "S_p2", (5, 16): "S_p3",
+    }
+    data = _load_fixture("KingdonFerland_testdata.txt")
+    for stage, atom, T, rec, ion in data:
+        key = (int(stage), int(atom))
+        if key not in ion_map:
+            continue
+        name = ion_map[key]
+        t4 = T * 1e-4
+        if stage > 1:
+            got = float(ct.recombination_rate_H(name, t4)) * 1e6  # -> cm^3/s
+            assert got == pytest.approx(rec, rel=1e-6), (name, T, "rec")
+        if stage < 5 and ion > 0:
+            got = float(ct.ionization_rate_H(name, t4)) * 1e6
+            assert got == pytest.approx(ion, rel=1e-6), (name, T, "ion")
