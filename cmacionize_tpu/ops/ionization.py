@@ -54,72 +54,116 @@ def normalize_mean_intensity(tally, luminosity, total_weight, cell_volume):
 def hydrogen_helium_neutral_fractions(
     jH, jHe, nH, AHe, T, alphaH, alphaHe, n_iterations: int = 20
 ):
-    """Coupled H–He photoionization equilibrium (vectorized fixed point).
+    """Coupled H-He photoionization equilibrium (vectorized, reference-exact).
 
-    Physics follows `compute_ionization_states_hydrogen_helium`
-    (/root/reference/src/IonizationStateCalculator.cpp:649-760): the He
-    balance feeds back on H through on-the-spot absorption of He Lyman
-    photons (pHots factor).  The reference iterates per cell with a 1e-4
-    tolerance (≤ 20 iterations); here every cell runs a fixed ``n_iterations``
-    sweeps with the reference's >10-iteration averaging damping — identical
-    fixed points, lockstep execution.
+    Replicates `compute_ionization_states_hydrogen_helium`
+    (/root/reference/src/IonizationStateCalculator.cpp:649-760) *exactly*,
+    including the iteration order, the Taylor-expansion branches of both
+    quadratic solutions, the >10-iteration averaging damping, and the
+    early-exit criterion (the loop stops as soon as either the hydrogen or
+    the helium fraction stops changing by more than 1e-4 relative).  The
+    per-cell while-loop becomes a masked lockstep loop: converged cells
+    freeze while the rest continue.
 
-    Both quadratic solutions are written in conjugate (cancellation-free)
-    form so f32 is sufficient (the reference needs a Taylor fallback branch
-    in f64, :723-760).
+    Exact replication matters: for stiff corner cells (jH orders of magnitude
+    below jHe) the iteration terminates via the early-exit on a
+    deterministic, method-defined iterate rather than a unique fixed point,
+    and the reference's golden data encodes exactly that value.
+
+    Run in float64 (the balance spans huge dynamic ranges).
 
     Returns (h0, he0) neutral fractions.
     """
+    import jax as _jax
+
     jH = jnp.asarray(jH)
     safe_jH = jnp.where(jH > 0.0, jH, 1.0)
     safe_jHe = jnp.where(jHe > 0.0, jHe, 1.0)
-    has_jHe = jHe > 0.0
+    has_che = jHe > 0.0
 
-    # effective He 2^1P recombination that pumps the H-ionizing continuum
+    # effective He 2^1P recombination pumping the H-ionizing continuum
     alpha_e_2sP = 4.17e-20 * (T * 1.0e-4) ** (-0.861)
     ch1 = alphaH * nH / safe_jH
     ch2 = AHe * alpha_e_2sP * nH / safe_jH
-    che = jnp.where(has_jHe, alphaHe * nH / safe_jHe, 0.0)
+    che = jnp.where(has_che, alphaHe * nH / safe_jHe, 0.0)
 
-    # initial guesses, cf. reference :692-706
-    h0 = 0.99 * (1.0 - jnp.exp(-0.5 / ch1))
-    he0 = jnp.where(has_jHe, jnp.minimum(0.5 / jnp.maximum(che, 1e-30), 1.0), 1.0)
+    sqrtT = jnp.sqrt(T)
 
-    sqrtT_inv = 1.0 / jnp.sqrt(T)
+    # initial guesses (reference :692-706)
+    h0old = 0.99 * (1.0 - jnp.exp(-0.5 / ch1))
+    h0 = 0.9 * h0old
+    he0old = jnp.where(has_che, jnp.minimum(0.5 / jnp.maximum(che, 1e-300), 1.0), 1.0)
+    he0 = jnp.zeros_like(h0)
 
-    def body(i, carry):
-        h0, he0 = carry
-        pHots = 1.0 / (1.0 + 77.0 * he0 * sqrtT_inv / jnp.maximum(h0, 1e-30))
-        ch = ch1 - ch2 * AHe * (1.0 - he0) * pHots / jnp.maximum(1.0 - h0, 1e-30)
+    def converged(h0, h0old, he0, he0old):
+        # loop CONTINUES while both change; stops when either settles
+        dh = jnp.abs(h0 - h0old) > 1e-4 * h0old
+        dhe = jnp.abs(he0 - he0old) > 1e-4 * he0old
+        return ~(dh & dhe)
 
-        # helium: AHe·che·y² - bhe·y + che·(1+AHe-h0) = 0, small root
+    def cond(state):
+        niter, h0, h0old, he0, he0old, frozen = state
+        return jnp.logical_and(niter < n_iterations, jnp.any(~frozen))
+
+    def body(state):
+        niter, h0, h0old, he0, he0old, frozen = state
+        h0old_n = h0
+        he0old_n = jnp.maximum(he0, 0.0)
+
+        pHots = 1.0 / (
+            1.0 + 77.0 * he0old_n / (sqrtT * jnp.maximum(h0old_n, 1e-300))
+        )
+        ch = ch1 - ch2 * AHe * (1.0 - he0old_n) * pHots / (1.0 - h0old_n)
+
+        # helium quadratic with Taylor fallback (reference :715-731)
         bhe = (1.0 + 2.0 * AHe - h0) * che + 1.0
+        che_bhe = che / bhe
         opAHeh0 = 1.0 + AHe - h0
+        t1he = 4.0 * AHe * opAHeh0 * che_bhe * che_bhe
         disc_he = jnp.sqrt(
             jnp.maximum(bhe * bhe - 4.0 * AHe * opAHeh0 * che * che, 0.0)
         )
-        he0_new = 2.0 * che * opAHeh0 / (bhe + disc_he)
-        he0_new = jnp.where(che > 0.0, he0_new, 1.0)
+        he0_exact = (bhe - disc_he) / (2.0 * AHe * jnp.maximum(che, 1e-300))
+        he0_new = jnp.where(t1he < 1e-3, opAHeh0 * che_bhe, he0_exact)
+        he0_new = jnp.where(has_che, he0_new, 1.0)
 
-        # hydrogen: ch·x² - b·x + ch·(1+AHe-he0·AHe) = 0, small root
-        opA = 1.0 + AHe - he0_new * AHe
+        # hydrogen quadratic with Taylor fallback (reference :733-742)
         b = ch * (2.0 + AHe - he0_new * AHe) + 1.0
+        ch_b = ch / b
+        opA = 1.0 + AHe - he0_new * AHe
+        t1 = 4.0 * ch_b * ch_b * opA
         disc_h = jnp.sqrt(jnp.maximum(b * b - 4.0 * ch * ch * opA, 0.0))
-        h0_new = 2.0 * ch * opA / (b + disc_h)
-        h0_new = jnp.clip(h0_new, NEUTRAL_FRACTION_FLOOR, 1.0)
-        he0_new = jnp.clip(he0_new, 0.0, 1.0)
+        sign_ch = jnp.where(ch >= 0, 1.0, -1.0)
+        h0_exact = (b - disc_h) / (
+            2.0 * sign_ch * jnp.maximum(jnp.abs(ch), 1e-300)
+        )
+        h0_new = jnp.where(t1 < 1e-3, ch_b * opA, h0_exact)
 
-        # averaging damping for slowly-converging cells (reference :744-747)
-        damp = i > 10
-        h0_out = jnp.where(damp, 0.5 * (h0_new + h0), h0_new)
-        he0_out = jnp.where(damp, 0.5 * (he0_new + he0), he0_new)
-        return (h0_out, he0_out)
+        # averaging damping (reference :744-747); niter here is 0-based while
+        # the reference increments first, so reference `niter > 10` after
+        # increment corresponds to this loop's iteration index >= 10
+        damp = niter + 1 > 10
+        h0_new = jnp.where(damp, 0.5 * (h0_new + h0old_n), h0_new)
+        he0_new = jnp.where(damp, 0.5 * (he0_new + he0old_n), he0_new)
 
-    import jax as _jax
+        # frozen cells keep their values
+        h0_out = jnp.where(frozen, h0, h0_new)
+        he0_out = jnp.where(frozen, he0, he0_new)
+        h0old_out = jnp.where(frozen, h0old, h0old_n)
+        he0old_out = jnp.where(frozen, he0old, he0old_n)
+        frozen_out = frozen | converged(h0_out, h0old_out, he0_out, he0old_out)
+        return (niter + 1, h0_out, h0old_out, he0_out, he0old_out, frozen_out)
 
-    h0, he0 = _jax.lax.fori_loop(0, n_iterations, body, (h0, he0))
+    frozen0 = converged(h0, h0old, he0, he0old)
+    state = (jnp.asarray(0), h0, h0old, he0, he0old, frozen0)
+    _, h0, _, he0, _, _ = _jax.lax.while_loop(cond, body, state)
 
-    # shortcut: negligible radiation → fully neutral (reference :670-675)
+    # shortcut: negligible radiation -> fully neutral (reference :670-675).
+    # NOTE: the result is intentionally NOT clipped to [0, 1] — the reference
+    # stores and uses raw iterates (which can slightly exceed 1 for stiff
+    # corner cells), and the heating/cooling balance golden data depends on
+    # that behavior.  Clamp at the call site where physical fractions are
+    # needed (e.g. before building opacities).
     neutral = jH < 1.0e-20
     h0 = jnp.where(neutral, 1.0, h0)
     he0 = jnp.where(neutral, 1.0, he0)

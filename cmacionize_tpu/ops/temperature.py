@@ -1,0 +1,256 @@
+"""Thermal equilibrium: coupled ionization + heating/cooling temperature solve.
+
+Equivalent of the reference's TemperatureCalculator
+(/root/reference/src/TemperatureCalculator.cpp): per cell, find T such that
+photo-heating balances radiative cooling, with the ionization state of
+H/He/metals recomputed self-consistently at each trial temperature.
+
+TPU-native design: the reference's per-cell log-secant iteration with
+bracketing evaluations at 0.9T/1.1T (:700-830) runs for ALL cells in lockstep
+inside one `lax.while_loop`; converged cells freeze via masking.  Each
+balance evaluation vectorizes the H–He fixed point, the closed-form metal
+chains, the batched line-cooling solve, bremsstrahlung and recombination
+cooling over the whole grid.
+
+Runs in float64 (enable jax x64): the balance spans ~40 orders of magnitude.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cmacionize_tpu.models import ions
+from cmacionize_tpu.ops import ionization, line_cooling, recombination
+
+# He Lyman-alpha on-the-spot heating energy: 21.2 eV - 13.6 eV (J),
+# cf. TemperatureCalculator.cpp:310
+HE_LYA_HEATING_ENERGY = 1.21765423e-18
+
+_METAL_NAMES = tuple(ions.ION_NAMES[2:])
+
+
+class BalanceResult(NamedTuple):
+    h0: jnp.ndarray
+    he0: jnp.ndarray
+    gain: jnp.ndarray
+    loss: jnp.ndarray
+    metals: dict  # name -> fraction field
+
+
+def coolant_abundances(h0_unused, metals, abundances):
+    """[..., 13] coolant abundances from metal-stage fractions.
+
+    Mirrors the abund[] mapping at TemperatureCalculator.cpp:355-420 — note
+    the reference's stage-fraction storage convention (see
+    ionization.metal_ion_fractions).
+    """
+    A = abundances
+    ab = [
+        # NI, NII, OI... order = line_cooling.COOLANT_NAMES
+        A["N"] * (1.0 - metals["N_n"] - metals["N_p1"] - metals["N_p2"]),  # NI
+        A["N"] * metals["N_n"],  # NII
+        A["O"] * (1.0 - metals["O_n"] - metals["O_p1"]),  # OI
+        A["O"] * metals["O_n"],  # OII
+        A["O"] * metals["O_p1"],  # OIII
+        A["Ne"] * metals["Ne_p1"],  # NeIII
+        A["S"] * (1.0 - metals["S_p1"] - metals["S_p2"] - metals["S_p3"]),  # SII
+        A["S"] * metals["S_p1"],  # SIII
+        A["C"] * (1.0 - metals["C_p1"] - metals["C_p2"]),  # CII
+        A["C"] * metals["C_p1"],  # CIII
+        A["N"] * metals["N_p1"],  # NIII
+        A["Ne"] * metals["Ne_n"],  # NeII
+        A["S"] * metals["S_p2"],  # SIV
+    ]
+    return jnp.stack(ab, axis=-1)
+
+
+def cooling_heating_balance(
+    T, j, h, nd, abundances, pahfac=0.0, crfac=0.0
+):
+    """One balance evaluation at temperature field T.
+
+    Args:
+        T: [cells] temperature (K)
+        j: dict ion name → photoionization rate [cells] (s⁻¹, already
+           jfac-normalized)
+        h: (hH, hHe) heating integrals [cells] (already hfac-normalized)
+        nd: [cells] hydrogen number density (m⁻³)
+        abundances: dict element → abundance (scalars)
+        pahfac/crfac: PAH and cosmic-ray heating factors
+
+    Returns BalanceResult (cf. compute_cooling_and_heating_balance,
+    TemperatureCalculator.cpp:200-500).
+    """
+    AHe = abundances.get("He", 0.0)
+    alphaH = recombination.recombination_rate("H_n", T)
+    alphaHe = recombination.recombination_rate("He_n", T)
+
+    h0, he0 = ionization.hydrogen_helium_neutral_fractions(
+        j["H_n"], j["He_n"], nd, AHe, T, alphaH, alphaHe
+    )
+    ne = nd * (1.0 - h0 + AHe * (1.0 - he0))
+    nhp = nd * (1.0 - h0)
+    nhep = nd * AHe * (1.0 - he0)
+    nenhp = ne * nhp
+    nenhep = ne * nhep
+    sqrtT = jnp.sqrt(T)
+    logT = jnp.log(T)
+    T4 = T * 1e-4
+
+    # --- heating (TemperatureCalculator.cpp:295-332)
+    hH, hHe = h
+    gain = nd * (hH * h0 + hHe * AHe * he0)
+    alpha_e_2sP = 4.17e-20 * T4 ** (-0.861)
+    pHots = 1.0 / (1.0 + 77.0 * he0 / (sqrtT * jnp.maximum(h0, 1e-300)))
+    gain = gain + pHots * HE_LYA_HEATING_ENERGY * alpha_e_2sP * nenhep
+    gain = gain + 1.5e-37 * nd * ne * pahfac
+    if crfac > 0.0:
+        gain = gain + crfac * 1.2e-25 / jnp.sqrt(jnp.maximum(ne, 1e-300))
+
+    # --- metal ionization (for coolant abundances)
+    alphas = {name: recombination.recombination_rate(name, T) for name in _METAL_NAMES}
+    j_metals = {name: j[name] for name in _METAL_NAMES}
+    metals = ionization.metal_ion_fractions(
+        j_metals, ne, T, nd * h0, nd * he0 * AHe, nhp, alphas
+    )
+
+    # --- cooling (TemperatureCalculator.cpp:422-500)
+    abund = coolant_abundances(h0, metals, abundances)
+    loss = line_cooling.cooling_rate(T, ne, abund) * nd
+    cgaunt = 5.5 - logT
+    gff = 1.1 + 0.34 * jnp.exp(-cgaunt * cgaunt / 3.0)
+    loss = loss + 1.42e-40 * gff * sqrtT * (nenhp + nenhep)
+    loss = loss + 2.85e-40 * nenhp * sqrtT * (
+        5.914 - 0.5 * logT + 0.01184 * jnp.cbrt(T)
+    )
+    loss = loss + 1.55e-39 * nenhep * T**0.3647
+
+    return BalanceResult(
+        h0=h0,
+        he0=he0,
+        gain=jnp.maximum(gain, 0.0),
+        loss=jnp.maximum(loss, 0.0),
+        metals=metals,
+    )
+
+
+def solve_temperature(
+    T_init,
+    j,
+    h,
+    nd,
+    abundances,
+    pahfac=0.0,
+    crfac=0.0,
+    epsilon: float = 1e-3,
+    max_iterations: int = 100,
+    minimum_ionized_temperature: float = 4000.0,
+):
+    """Log-secant equilibrium temperature solve for all cells in lockstep.
+
+    Returns (T, h0, he0, metals) with the reference's post-conditions applied:
+    T capped at 30 kK (He CT validity), neutral cells at 500 K, fully-ionized
+    metal cleanup (cf. TemperatureCalculator.cpp:832-930).
+    """
+    logtt = jnp.log(1.1 / 0.9)
+
+    T0 = jnp.where(T_init <= 4000.0, 8000.0, T_init)
+
+    def eval_balance(T):
+        return cooling_heating_balance(T, j, h, nd, abundances, pahfac, crfac)
+
+    def metals_tuple(metals):
+        return tuple(metals[name] for name in _METAL_NAMES)
+
+    def cond(state):
+        niter, frozen = state[0], state[4]
+        return jnp.logical_and(niter < max_iterations, jnp.any(~frozen))
+
+    def body(state):
+        niter, T0, gain0, loss0, frozen, h0, he0, metals = state
+        bal1 = eval_balance(1.1 * T0)
+        bal2 = eval_balance(0.9 * T0)
+        bal0 = eval_balance(T0)
+
+        def log_ratio(a, b):
+            # log(a/b) with the reference's 0-handling (:755-792)
+            return jnp.where(
+                b > 0.0,
+                jnp.where(a > 0.0, jnp.log(jnp.maximum(a, 1e-300) / b), -99.0),
+                jnp.where(a > 0.0, 99.0, 0.0),
+            )
+
+        expgain = log_ratio(bal1.gain, bal2.gain)
+        exploss = log_ratio(bal1.loss, bal2.loss)
+        expdiff = expgain - exploss
+        good = (bal0.gain > 0.0) & (expdiff != 0.0)
+        ratio = bal0.loss / jnp.maximum(bal0.gain, 1e-300)
+        T_new = jnp.where(
+            good,
+            T0 * jnp.exp(jnp.clip(logtt / jnp.where(good, expdiff, 1.0), -50, 50)
+                         * jnp.log(jnp.maximum(ratio, 1e-300))),
+            1.1 * T0,
+        )
+
+        # bounds: neutral floor / ionized cap force convergence (:802-822)
+        went_cold = T_new < minimum_ionized_temperature
+        went_hot = T_new > 1e10
+        T_new = jnp.where(went_cold, 500.0, jnp.where(went_hot, 1e10, T_new))
+        h0_new = jnp.where(went_cold, 1.0, jnp.where(went_hot, 1e-10, bal0.h0))
+        he0_new = jnp.where(went_cold, 1.0, jnp.where(went_hot, 1e-10, bal0.he0))
+        forced = went_cold | went_hot
+        gain_new = jnp.where(forced, 1.0, bal0.gain)
+        loss_new = jnp.where(forced, 1.0, bal0.loss)
+
+        # frozen cells keep all their values (reference loop exited for them)
+        T_out = jnp.where(frozen, T0, T_new)
+        h0_out = jnp.where(frozen, h0, h0_new)
+        he0_out = jnp.where(frozen, he0, he0_new)
+        gain_out = jnp.where(frozen, gain0, gain_new)
+        loss_out = jnp.where(frozen, loss0, loss_new)
+        metals_out = tuple(
+            jnp.where(frozen, old, new)
+            for old, new in zip(metals, metals_tuple(bal0.metals))
+        )
+        # a cell freezes once the reference's top-of-loop check would exit:
+        # |gain - loss| <= eps * gain, using the values just computed
+        frozen_out = frozen | (
+            jnp.abs(gain_out - loss_out)
+            <= epsilon * jnp.maximum(gain_out, 1e-300)
+        )
+        return (
+            niter + 1, T_out, gain_out, loss_out, frozen_out,
+            h0_out, he0_out, metals_out,
+        )
+
+    zeros = jnp.zeros_like(T0)
+    state = (
+        jnp.asarray(0),
+        T0,
+        jnp.ones_like(T0),  # gain0 = 1
+        zeros,  # loss0 = 0
+        jnp.zeros_like(T0, dtype=bool),
+        zeros,  # h0
+        zeros,  # he0
+        tuple(zeros for _ in _METAL_NAMES),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    _, T0, _, _, _, h0, he0, metals_t = out
+    metals = dict(zip(_METAL_NAMES, metals_t))
+
+    # cap at 30 kK (He charge-transfer validity, :833)
+    T0 = jnp.minimum(T0, 30000.0)
+
+    # physical-sense fixups (:838-918)
+    no_jH = j["H_n"] <= 0.0
+    no_jHe = j["He_n"] <= 0.0
+    h0 = jnp.where(no_jH, 1.0, h0)
+    he0 = jnp.where(no_jHe, 1.0, he0)
+    ionized = h0 <= 1e-10
+    for name in _METAL_NAMES:
+        metals[name] = jnp.where(no_jH | ionized, 0.0, metals[name])
+    return T0, h0, he0, metals
