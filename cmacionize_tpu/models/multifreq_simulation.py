@@ -1,0 +1,368 @@
+"""Multi-element Monte Carlo photoionization with temperature balance.
+
+Equivalent of the reference's full IonizationSimulation pipeline for
+multi-frequency spectra (the lexington benchmark family,
+/root/reference/src/IonizationSimulation.cpp:334-679 +
+TemperatureCalculator::calculate_temperature): per iteration,
+
+    emit packets (spectrum inverse-CDF → frequency bin, per-packet σ_H/σ_He)
+    → spectral traversal (binned ℓ·w tallies, H+He opacity)
+    → diffuse re-emission generations (absorbed packets re-enter the batch)
+    → one MXU matmul converts binned tallies to per-ion mean-intensity and
+      heating integrals
+    → per-cell coupled H/He/metal ionization solve, with the log-secant
+      temperature iteration after the initial iterations.
+
+The ionization/temperature solves run in float64 (required — enable jax
+x64); traversal runs in f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmacionize_tpu import constants
+from cmacionize_tpu.models import ions, reemission, sources
+from cmacionize_tpu.models.grid import GridGeometry
+from cmacionize_tpu.ops import (
+    cross_sections as xsec_mod,
+    ionization,
+    recombination,
+    temperature as temp_mod,
+    traversal,
+)
+from cmacionize_tpu.utils.logging import Log, NullLog
+
+_METAL_NAMES = tuple(ions.ION_NAMES[2:])
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiFreqConfig:
+    geometry: GridGeometry
+    number_density: float
+    initial_temperature: float
+    source_position: Tuple[float, float, float]
+    luminosity: float
+    spectrum_type: str  # "planck" | "monochromatic"
+    spectrum_temperature: float  # for planck
+    spectrum_frequency: float  # for monochromatic
+    n_photons: int
+    n_iterations: int
+    abundances: Dict[str, float]
+    do_temperature: bool = True
+    minimum_iteration_number: int = 3  # T-solve only after this many loops
+    diffuse_field: bool = True
+    n_bins: int = 128
+    n_reemission_rounds: int = 8
+    pahfac: float = 0.0
+    crfac: float = 0.0
+    initial_neutral_fraction: float = 1.0e-6
+
+    @classmethod
+    def from_params(cls, params) -> "MultiFreqConfig":
+        geometry = GridGeometry.from_params(params)
+        spectrum_type = params.get_string(
+            "PhotonSourceSpectrum:type", "Planck"
+        ).lower()
+        abund = dict(ions.DEFAULT_ABUNDANCES)
+        for element in abund:
+            key = f"Abundances:{element}"
+            if params.has_value(key):
+                abund[element] = params.get_number(key)
+        return cls(
+            geometry=geometry,
+            number_density=params.get_physical_value(
+                "DensityFunction:density", "number density", "100. cm^-3"
+            ),
+            initial_temperature=params.get_physical_value(
+                "DensityFunction:temperature", "temperature", "8000. K"
+            ),
+            source_position=tuple(
+                params.get_physical_vector(
+                    "PhotonSourceDistribution:position",
+                    "length",
+                    ["0. m", "0. m", "0. m"],
+                )
+            ),
+            luminosity=params.get_physical_value(
+                "PhotonSourceDistribution:luminosity", "frequency", "4.26e49 s^-1"
+            ),
+            spectrum_type=spectrum_type,
+            spectrum_temperature=params.get_physical_value(
+                "PhotonSourceSpectrum:temperature", "temperature", "40000. K"
+            ),
+            spectrum_frequency=params.get_physical_value(
+                "PhotonSourceSpectrum:frequency", "frequency", "13.6 eV"
+            ),
+            n_photons=params.get_int("IonizationSimulation:number of photons", 1000000),
+            n_iterations=params.get_int(
+                "IonizationSimulation:number of iterations", 20
+            ),
+            abundances=abund,
+            do_temperature=params.get_bool(
+                "TemperatureCalculator:do temperature calculation", False
+            ),
+            diffuse_field=params.get_bool(
+                "IonizationSimulation:diffuse field", False
+            ),
+            pahfac=params.get_number("TemperatureCalculator:PAH heating factor", 0.0),
+            crfac=params.get_number(
+                "TemperatureCalculator:cosmic ray heating factor", 0.0
+            ),
+        )
+
+
+class MultiFreqIonizationSimulation:
+    """Driver for the multi-element photoionization loop."""
+
+    def __init__(
+        self, config: MultiFreqConfig, log: Optional[Log] = None, seed: int = 42
+    ):
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        geom = config.geometry
+        cell = geom.cell_size
+        if not np.allclose(cell, cell[0], rtol=1e-6):
+            raise NotImplementedError("cubic cells required")
+        self.config = config
+        self.log = log or NullLog()
+        self.key = jax.random.PRNGKey(seed)
+        self.geometry = geom
+        self.dx = float(cell[0])
+
+        # frequency grid: uniform bins over the ionizing range
+        nu_min = reemission.NU_MIN
+        nu_max = 4.0 * nu_min
+        self.bin_edges = np.linspace(nu_min, nu_max, config.n_bins + 1)
+        self.bin_centers = 0.5 * (self.bin_edges[1:] + self.bin_edges[:-1])
+        # per-ion cross sections at bin centers [n_ion, n_bins]
+        self.sigma_table = xsec_mod.tabulate_cross_sections(self.bin_centers)
+        heating = np.stack(
+            [
+                self.sigma_table[ions.ION_H_n] * (self.bin_centers - constants.NU_ION_H),
+                self.sigma_table[ions.ION_He_n]
+                * (self.bin_centers - constants.NU_ION_HE),
+            ]
+        )
+        self.heating_weights = heating
+
+        # source spectrum sampled as a distribution over bins
+        if config.spectrum_type.startswith("mono"):
+            pdf = np.zeros(config.n_bins)
+            idx = np.clip(
+                np.searchsorted(self.bin_edges, config.spectrum_frequency) - 1,
+                0,
+                config.n_bins - 1,
+            )
+            pdf[idx] = 1.0
+        else:
+            x = (
+                constants.PLANCK
+                * self.bin_centers
+                / (constants.BOLTZMANN * config.spectrum_temperature)
+            )
+            pdf = self.bin_centers**2 / np.expm1(x)
+        cdf = np.cumsum(pdf)
+        self.spectrum_cdf = np.concatenate([[0.0], cdf / cdf[-1]])
+
+        self.spectra = reemission.ReemissionSpectra.build()
+
+        # grid state (f32 for traversal; solves upcast internally)
+        shape = geom.shape
+        self.number_density = jnp.full(shape, config.number_density, jnp.float32)
+        self.temperature = jnp.full(shape, config.initial_temperature, jnp.float64)
+        self.xion = {
+            name: jnp.full(shape, config.initial_neutral_fraction, jnp.float64)
+            for name in ions.ION_NAMES
+        }
+        self._source_gpos = tuple(
+            float(g) for g in geom.position_to_grid_coords(config.source_position)
+        )
+        self._iteration_jit = None
+        self.j_fields = None
+
+    # ---------------------------------------------------------------- MC core
+
+    def _emit_bins(self, key, n):
+        """Sample n frequency bins from the source spectrum CDF."""
+        xi = jax.random.uniform(key, (n,), jnp.float32)
+        edges = jnp.asarray(self.spectrum_cdf, jnp.float32)
+        return jnp.clip(
+            jnp.searchsorted(edges, xi) - 1, 0, self.config.n_bins - 1
+        ).astype(jnp.int32)
+
+    def _mc_shoot(self, key, xH, xHe, T):
+        """Emit + trace + re-emission rounds → [n_ion+2, ncell] integrals
+        (raw Σ ℓσw scale: cell-unit lengths × m² × weight)."""
+        cfg = self.config
+        shape = self.geometry.shape
+        ncell = self.geometry.n_cells
+        nd = self.number_density
+        AHe = cfg.abundances["He"]
+
+        chi_h = (nd * xH.astype(jnp.float32) * self.dx).reshape(-1)
+        chi_he = (nd * AHe * xHe.astype(jnp.float32) * self.dx).reshape(-1)
+
+        sig_h_tab = jnp.asarray(self.sigma_table[ions.ION_H_n], jnp.float32)
+        sig_he_tab = jnp.asarray(self.sigma_table[ions.ION_He_n], jnp.float32)
+
+        key_bin, key_emit, key_loop = jax.random.split(key, 3)
+        fbin = self._emit_bins(key_bin, cfg.n_photons)
+        px, py, pz, dx, dy, dz, tau, _, weight = sources.emit_point_source(
+            key_emit, cfg.n_photons, self._source_gpos
+        )
+        packets = traversal.make_spectral_packets(
+            jnp.stack([px, py, pz], 1),
+            jnp.stack([dx, dy, dz], 1),
+            tau,
+            weight,
+            sig_h_tab[fbin],
+            sig_he_tab[fbin],
+            fbin,
+            shape,
+        )
+        tally2d = jnp.zeros(cfg.n_bins * ncell, jnp.float32)
+        tally2d, packets = traversal.trace_packets_spectral(
+            chi_h, chi_he, packets, tally2d,
+            shape=shape, n_bins=cfg.n_bins, periodic=self.geometry.periodic,
+        )
+
+        if cfg.diffuse_field:
+            xH32 = xH.astype(jnp.float32).reshape(-1)
+            xHe32 = xHe.astype(jnp.float32).reshape(-1)
+            T32 = T.astype(jnp.float32).reshape(-1)
+            nyz = shape[1] * shape[2]
+            bin_edges = jnp.asarray(self.bin_edges, jnp.float32)
+            for gen in range(cfg.n_reemission_rounds):
+                key_loop, key_re, key_dir, key_tau = jax.random.split(key_loop, 4)
+                flat = (packets.cx * shape[1] + packets.cy) * shape[2] + packets.cz
+                flat = jnp.clip(flat, 0, ncell - 1)
+                remask, new_freq = reemission.reemit_batch(
+                    key_re,
+                    self.spectra,
+                    packets.absorbed,
+                    packets.sig_h,
+                    packets.sig_he,
+                    xH32[flat],
+                    xHe32[flat],
+                    T32[flat],
+                    AHe,
+                )
+                ndx, ndy, ndz = sources.isotropic_directions(
+                    key_dir, packets.size
+                )
+                ntau = sources.sample_tau_targets(key_tau, packets.size)
+                nbin = jnp.clip(
+                    jnp.searchsorted(bin_edges, new_freq) - 1, 0, cfg.n_bins - 1
+                ).astype(jnp.int32)
+                packets = traversal.SpectralPacketBatch(
+                    packets.px, packets.py, packets.pz,
+                    packets.cx, packets.cy, packets.cz,
+                    ndx, ndy, ndz,
+                    ntau, packets.weight,
+                    sig_h_tab[nbin], sig_he_tab[nbin], nbin,
+                    remask, jnp.zeros_like(remask),
+                )
+                tally2d, packets = traversal.trace_packets_spectral(
+                    chi_h, chi_he, packets, tally2d,
+                    shape=shape, n_bins=cfg.n_bins,
+                    periodic=self.geometry.periodic,
+                )
+
+        integrals = traversal.spectral_tallies_to_ion_integrals(
+            tally2d,
+            jnp.asarray(self.sigma_table, jnp.float32),
+            jnp.asarray(self.heating_weights, jnp.float32),
+            ncell,
+        )
+        return integrals  # [n_ion + 2, ncell]
+
+    # ------------------------------------------------------------ iterations
+
+    def _solve_state(self, integrals, do_temp: bool):
+        """Normalize tallies and run the per-cell state solve."""
+        cfg = self.config
+        shape = self.geometry.shape
+        nd = self.number_density.astype(jnp.float64)
+        jfac = cfg.luminosity * self.dx / (
+            cfg.n_photons * self.geometry.cell_volume
+        )
+        hfac = jfac * constants.PLANCK
+        integrals = integrals.astype(jnp.float64)
+        j = {
+            name: (integrals[i] * jfac).reshape(shape)
+            for i, name in enumerate(ions.ION_NAMES)
+        }
+        h = (
+            (integrals[ions.NUMBER_OF_IONS] * hfac).reshape(shape),
+            (integrals[ions.NUMBER_OF_IONS + 1] * hfac).reshape(shape),
+        )
+
+        if do_temp:
+            T, h0, he0, metals = temp_mod.solve_temperature(
+                self.temperature,
+                j,
+                h,
+                nd,
+                cfg.abundances,
+                pahfac=cfg.pahfac,
+                crfac=cfg.crfac,
+            )
+        else:
+            T = self.temperature
+            AHe = cfg.abundances["He"]
+            alphaH = recombination.recombination_rate("H_n", T)
+            alphaHe = recombination.recombination_rate("He_n", T)
+            h0, he0 = ionization.hydrogen_helium_neutral_fractions(
+                j["H_n"], j["He_n"], nd, AHe, T, alphaH, alphaHe
+            )
+            ne = nd * (1.0 - h0 + AHe * (1.0 - he0))
+            alphas = {
+                name: recombination.recombination_rate(name, T)
+                for name in _METAL_NAMES
+            }
+            metals = ionization.metal_ion_fractions(
+                {name: j[name] for name in _METAL_NAMES},
+                ne, T, nd * h0, nd * he0 * AHe, nd * (1.0 - h0), alphas,
+            )
+            # neutral/vacuum fixups (IonizationStateCalculator.cpp:188-260)
+            no_j = j["H_n"] <= 0.0
+            h0 = jnp.where(no_j, 1.0, h0)
+            he0 = jnp.where(no_j, 1.0, he0)
+            neutral_one = {"N_n": 1.0, "O_n": 1.0, "Ne_n": 1.0}
+            for name in _METAL_NAMES:
+                metals[name] = jnp.where(
+                    no_j, neutral_one.get(name, 0.0), metals[name]
+                )
+
+        xion = {"H_n": h0, "He_n": he0}
+        xion.update(metals)
+        return T, xion, j
+
+    def run(self, n_iterations: Optional[int] = None):
+        cfg = self.config
+        n_iterations = n_iterations or cfg.n_iterations
+        shoot = jax.jit(self._mc_shoot)
+        for loop in range(n_iterations):
+            self.key, subkey = jax.random.split(self.key)
+            # opacity fractions are physical: clamp the stored (possibly >1)
+            # raw iterates when building χ
+            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0)
+            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0)
+            integrals = shoot(subkey, xH, xHe, self.temperature)
+            do_temp = cfg.do_temperature and loop >= cfg.minimum_iteration_number
+            self.temperature, self.xion, self.j_fields = self._solve_state(
+                integrals, do_temp
+            )
+            self.log.info(
+                f"iteration {loop + 1}/{n_iterations}: "
+                f"<T> = {float(jnp.mean(self.temperature)):.1f} K, "
+                f"<xH> = {float(jnp.mean(self.xion['H_n'])):.4f}"
+            )
+        return self.xion, self.temperature

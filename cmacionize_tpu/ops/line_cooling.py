@@ -153,7 +153,38 @@ def five_level_populations(T, ne, dtype=jnp.float64):
     )
 
     b = jnp.zeros(batch + (N_FIVE, 5), dtype).at[..., 0].set(1.0)
-    return jnp.linalg.solve(M, b[..., None])[..., 0]  # [..., 10, 5]
+    return solve5x5(M, b)  # [..., 10, 5]
+
+
+def solve5x5(A, b):
+    """Batched 5×5 linear solve by unrolled Gauss–Jordan with partial pivoting.
+
+    Pure elementwise/where ops — usable in f64 on TPU, where XLA's
+    LuDecomposition (hence jnp.linalg.solve) only supports f32.  Plays the
+    role of the reference's hand-rolled elimination
+    (/root/reference/src/LineCoolingData.cpp:1492-1560), batched over all
+    cells and ions at once.
+    """
+    M = jnp.concatenate([A, b[..., None]], axis=-1)  # [..., 5, 6]
+    row_idx = jnp.arange(5)
+    for j in range(5):
+        col = jnp.abs(M[..., :, j])
+        col = jnp.where(row_idx >= j, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)  # [...]
+        # swap rows j and p: perm[i] = p if i == j, j if i == p, else i
+        perm = jnp.where(
+            row_idx == j,
+            p[..., None],
+            jnp.where(row_idx == p[..., None], j, row_idx),
+        )
+        M = jnp.take_along_axis(M, perm[..., :, None], axis=-2)
+        piv = M[..., j, j][..., None]  # [..., 1]
+        row_j = M[..., j, :] / piv  # [..., 6]
+        factors = M[..., :, j]  # [..., 5]
+        elim = (row_idx != j).astype(M.dtype)
+        M = M - (elim * factors)[..., :, None] * row_j[..., None, :]
+        M = M.at[..., j, :].set(row_j)
+    return M[..., :, 5]
 
 
 def two_level_populations(T, ne, dtype=jnp.float64):

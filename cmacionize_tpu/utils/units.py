@@ -182,6 +182,15 @@ def parse_quantity(text, expected_dims=None):
         if isinstance(expected_dims, str):
             expected_dims = QUANTITY_DIMS[expected_dims]
         if not unit.is_dimensionless() and tuple(unit.dims) != tuple(expected_dims):
+            # photon energies are accepted where frequencies are expected
+            # (E = hν), matching the reference's UnitConverter special case
+            # for QUANTITY_FREQUENCY (/root/reference/src/UnitConverter.hpp)
+            planck = 6.626070040e-34
+            if (
+                tuple(expected_dims) == QUANTITY_DIMS["frequency"]
+                and tuple(unit.dims) == QUANTITY_DIMS["energy"]
+            ):
+                return value * unit.factor / planck
             raise ValueError(
                 f"quantity {text!r} has dimensions {unit.dims}, "
                 f"expected {expected_dims}"

@@ -1,0 +1,74 @@
+"""RHD integration test: reduced starbench D-type expansion on CPU.
+
+Mirrors the reference's benchmark-as-acceptance-test strategy
+(/root/reference/benchmarks/starbench.py): the ionization front radius after
+a period of driven expansion must track the analytic Spitzer /
+Hosokawa-Inutsuka solutions.
+"""
+
+import numpy as np
+
+from cmacionize_tpu.models.grid import GridGeometry
+from cmacionize_tpu.models.rhd_simulation import (
+    DensityBlock,
+    RHDConfig,
+    RHDSimulation,
+    hosokawa_inutsuka_radius,
+    spitzer_radius,
+)
+
+PC = 3.086e16
+
+
+def test_starbench_early_expansion():
+    n_cells = 24
+    geometry = GridGeometry(
+        anchor=(-1.256 * PC,) * 3,
+        sides=(2.512 * PC,) * 3,
+        shape=(n_cells,) * 3,
+    )
+    dt = 8.9e9  # s
+    n_steps = 100
+    config = RHDConfig(
+        geometry=geometry,
+        gamma=1.0001,
+        timestep=dt,
+        total_time=dt * n_steps,
+        luminosity=1e49,
+        source_position=(0.0, 0.0, 0.0),
+        cross_section=6.3e-22,
+        recombination_rate=2.7e-19,
+        n_photons=4000,
+        nloop=2,
+        blocks=[],
+        background_density=3.113e9,
+        background_temperature=100.0,
+    )
+    sim = RHDSimulation(config, seed=5)
+    state, xH = sim.run(n_steps=n_steps, log_every=10**9)
+
+    r_st = (3 * 1e49 / (4 * np.pi * (3.113e9) ** 2 * 2.7e-19)) ** (1 / 3)
+    r_front = sim.ionization_front_radius()
+    r_sp = spitzer_radius(sim.time, r_st)
+    r_hi = hosokawa_inutsuka_radius(sim.time, r_st)
+    # coarse grid + few photons: generous envelope around the analytic laws
+    assert 0.7 * r_sp < r_front < 1.35 * r_hi, (
+        r_front / PC,
+        r_sp / PC,
+        r_hi / PC,
+    )
+    # the interior is ionized and hot, the exterior neutral and cold
+    xH = np.asarray(xH)
+    c = n_cells // 2
+    assert xH[c, c, c] < 1e-3
+    assert xH[0, 0, 0] > 0.99
+    # mass conservation (reflective box)
+    from cmacionize_tpu import constants
+    from cmacionize_tpu.ops import hydro
+
+    total_mass = float(np.asarray(state.rho).sum()) * sim.geometry.cell_volume
+    expected = 3.113e9 * constants.PROTON_MASS * sim.geometry.cell_volume * n_cells**3
+    assert abs(total_mass / expected - 1) < 1e-4
+    # no negative pressures
+    w = hydro.primitives_from_conserved(state, config.gamma)
+    assert float(np.asarray(w.p).min()) > 0
