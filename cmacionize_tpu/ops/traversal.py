@@ -175,6 +175,17 @@ def trace_packets(
         active = pk.active & ~absorbed_now & inside
         absorbed = pk.absorbed | absorbed_now
 
+        # freeze terminated packets: their final state (position, remaining
+        # tau) is consumed by re-emission and domain-exchange handoff
+        upd = pk.active
+        px = jnp.where(upd, px, pk.px)
+        py = jnp.where(upd, py, pk.py)
+        pz = jnp.where(upd, pz, pk.pz)
+        cx = jnp.where(upd, cx, pk.cx)
+        cy = jnp.where(upd, cy, pk.cy)
+        cz = jnp.where(upd, cz, pk.cz)
+        tau_left = jnp.where(upd, tau_left, pk.tau_left)
+
         pk = PacketBatch(
             px, py, pz, cx, cy, cz, pk.dx, pk.dy, pk.dz,
             tau_left, pk.weight, active, absorbed,
@@ -323,6 +334,16 @@ def trace_packets_spectral(
         tau_left = jnp.where(absorbed_now, 0.0, pk.tau_left - tau_cell)
         active = pk.active & ~absorbed_now & inside
         absorbed = pk.absorbed | absorbed_now
+
+        # freeze terminated packets (see trace_packets)
+        upd = pk.active
+        px = jnp.where(upd, px, pk.px)
+        py = jnp.where(upd, py, pk.py)
+        pz = jnp.where(upd, pz, pk.pz)
+        cx = jnp.where(upd, cx, pk.cx)
+        cy = jnp.where(upd, cy, pk.cy)
+        cz = jnp.where(upd, cz, pk.cz)
+        tau_left = jnp.where(upd, tau_left, pk.tau_left)
 
         pk = SpectralPacketBatch(
             px, py, pz, cx, cy, cz, pk.dx, pk.dy, pk.dz,
