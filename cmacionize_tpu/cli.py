@@ -1,0 +1,246 @@
+"""Command-line entry point.
+
+Equivalent of the reference's CMacIonize main
+(/root/reference/src/CMacIonize.cpp:100-377): parse flags, load the
+parameter file, dispatch into a run mode, write snapshots.  The reference's
+`--task-based` flags select its second-generation scheduler; on TPU both
+generations map onto the same bulk-synchronous implementation, so the flags
+are accepted and simply logged.
+
+Usage:
+    python -m cmacionize_tpu --params benchmarks/stromgren.param
+    python -m cmacionize_tpu --rhd --params starbench.param
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from cmacionize_tpu.utils.logging import TerminalLog
+from cmacionize_tpu.utils.params import ParameterFile
+
+
+def _write_snapshot(params, geometry, fields, time_value, log):
+    from cmacionize_tpu.io.gadget import write_gadget_snapshot
+
+    prefix = params.get_string("DensityGridWriter:prefix", "snapshot_")
+    padding = params.get_int("DensityGridWriter:padding", 3)
+    folder = params.get_string("DensityGridWriter:folder", ".")
+    counter = 0
+    name = os.path.join(folder, f"{prefix}{counter:0{padding}d}.hdf5")
+    while os.path.exists(name):
+        counter += 1
+        name = os.path.join(folder, f"{prefix}{counter:0{padding}d}.hdf5")
+    write_gadget_snapshot(name, geometry, fields, time_value)
+    log.status(f"wrote snapshot {name}")
+    return name
+
+
+def _run_ionization(params, log, seed):
+    """Photoionization post-processing (classic / task-based modes)."""
+    multi_element = (
+        params.get_bool("TemperatureCalculator:do temperature calculation", False)
+        or params.get_bool("IonizationSimulation:diffuse field", False)
+        or not params.get_string("PhotonSourceSpectrum:type", "Monochromatic")
+        .lower()
+        .startswith("mono")
+    )
+    if multi_element:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        from cmacionize_tpu.models.multifreq_simulation import (
+            MultiFreqConfig,
+            MultiFreqIonizationSimulation,
+        )
+
+        config = MultiFreqConfig.from_params(params)
+        sim = MultiFreqIonizationSimulation(config, log=log, seed=seed)
+        xion, temperature = sim.run()
+        fields = {
+            "NumberDensity": np.asarray(sim.number_density),
+            "Temperature": np.asarray(temperature),
+            "NeutralFractionH": np.clip(np.asarray(xion["H_n"]), 0, 1),
+            "NeutralFractionHe": np.clip(np.asarray(xion["He_n"]), 0, 1),
+        }
+        for name in xion:
+            if name not in ("H_n", "He_n"):
+                fields[f"NeutralFraction{name}"] = np.asarray(xion[name])
+    else:
+        from cmacionize_tpu.models.ionization_simulation import (
+            HOnlyConfig,
+            HOnlyIonizationSimulation,
+        )
+
+        config = HOnlyConfig.from_params(params)
+        sim = HOnlyIonizationSimulation(config, log=log, seed=seed)
+        xh = sim.run()
+        fields = {
+            "NumberDensity": np.asarray(sim.number_density),
+            "Temperature": np.full(config.geometry.shape, config.temperature),
+            "NeutralFractionH": np.asarray(xh),
+        }
+    _write_snapshot(params, config.geometry, fields, 0.0, log)
+
+
+def _run_rhd(params, log, seed):
+    """Radiation hydrodynamics (starbench-class problems)."""
+    from cmacionize_tpu import constants
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.rhd_simulation import (
+        DensityBlock,
+        RHDConfig,
+        RHDSimulation,
+    )
+    from cmacionize_tpu.ops import hydro as hydro_mod
+    from cmacionize_tpu.utils.units import parse_quantity
+
+    geometry = GridGeometry.from_params(params)
+    total_time = params.get_physical_value(
+        "RadiationHydrodynamicsSimulation:total time", "time", "0.141 Myr"
+    )
+    dt = params.get_physical_value(
+        "RadiationHydrodynamicsSimulation:minimum timestep",
+        "time",
+        f"{total_time / 2048.0} s",
+    )
+    blocks = []
+    block_file = params.get_string("DensityFunction:filename", "")
+    if block_file and os.path.exists(block_file):
+        block_params = ParameterFile(block_file)
+        n_blocks = block_params.get_int("number of blocks", 0)
+        for i in range(n_blocks):
+            prefix = f"block[{i}]"
+            blocks.append(
+                DensityBlock(
+                    origin=tuple(
+                        block_params.get_physical_vector(f"{prefix}:origin", "length")
+                    ),
+                    sides=tuple(
+                        block_params.get_physical_vector(f"{prefix}:sides", "length")
+                    ),
+                    number_density=block_params.get_physical_value(
+                        f"{prefix}:number density", "number density"
+                    ),
+                    temperature=block_params.get_physical_value(
+                        f"{prefix}:initial temperature", "temperature", "100. K"
+                    ),
+                )
+            )
+
+    def bc(name):
+        value = params.get_string(f"HydroIntegrator:boundary {name}", "reflective")
+        return {
+            "periodic": hydro_mod.BC_PERIODIC,
+            "reflective": hydro_mod.BC_REFLECTIVE,
+            "inflow": hydro_mod.BC_INFLOW,
+            "outflow": hydro_mod.BC_OUTFLOW,
+        }[value]
+
+    config = RHDConfig(
+        geometry=geometry,
+        gamma=params.get_number("HydroIntegrator:polytropic index", 5.0 / 3.0),
+        timestep=dt,
+        total_time=total_time,
+        luminosity=params.get_physical_value(
+            "PhotonSourceDistribution:luminosity", "frequency", "1.e49 s^-1"
+        ),
+        source_position=tuple(
+            params.get_physical_vector(
+                "PhotonSourceDistribution:position", "length", ["0. m"] * 3
+            )
+        ),
+        cross_section=params.get_physical_value(
+            "CrossSections:hydrogen_0", "surface area", "6.3e-18 cm^2"
+        ),
+        recombination_rate=params.get_physical_value(
+            "RecombinationRates:hydrogen_1", "reaction rate", "2.7e-13 cm^3 s^-1"
+        ),
+        n_photons=params.get_int(
+            "RadiationHydrodynamicsSimulation:number of photons", 1000000
+        ),
+        nloop=params.get_int(
+            "RadiationHydrodynamicsSimulation:number of iterations", 10
+        ),
+        background_density=params.get_physical_value(
+            "DensityFunction:density", "number density", "0. m^-3"
+        ),
+        background_temperature=params.get_physical_value(
+            "DensityFunction:temperature", "temperature", "100. K"
+        ),
+        blocks=blocks,
+        boundaries=(
+            (bc("x low"), bc("x high")),
+            (bc("y low"), bc("y high")),
+            (bc("z low"), bc("z high")),
+        ),
+        radiative_heating=params.get_bool(
+            "HydroIntegrator:radiative heating", True
+        ),
+        radiative_cooling=params.get_bool(
+            "HydroIntegrator:radiative cooling", False
+        ),
+    )
+    sim = RHDSimulation(config, log=log, seed=seed)
+    state, xh = sim.run()
+    w = hydro_mod.primitives_from_conserved(state, config.gamma)
+    fields = {
+        "NumberDensity": np.asarray(w.rho) / constants.PROTON_MASS,
+        "Density": np.asarray(w.rho),
+        "Velocities": np.stack(
+            [np.asarray(w.vx), np.asarray(w.vy), np.asarray(w.vz)], axis=-1
+        ),
+        "Pressure": np.asarray(w.p),
+        "NeutralFractionH": np.asarray(xh),
+    }
+    _write_snapshot(params, geometry, fields, sim.time, log)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="cmacionize-tpu",
+        description="TPU-native Monte Carlo photoionization + RHD framework",
+    )
+    parser.add_argument("--params", "-p", required=True, help="parameter file")
+    parser.add_argument("--rhd", action="store_true", help="radiation hydro mode")
+    parser.add_argument(
+        "--task-based", action="store_true",
+        help="accepted for reference CLI parity (same TPU implementation)",
+    )
+    parser.add_argument(
+        "--task-based-rhd", action="store_true",
+        help="accepted for reference CLI parity (same TPU implementation)",
+    )
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--verbose", "-v", action="store_true")
+    parser.add_argument(
+        "--dry", action="store_true", help="parse configuration and exit"
+    )
+    args = parser.parse_args(argv)
+
+    log = TerminalLog("info" if args.verbose else "status")
+    params = ParameterFile(args.params)
+    log.status(f"loaded parameter file {args.params}")
+
+    t0 = time.time()
+    if args.dry:
+        log.status("dry run: configuration parsed OK")
+        return 0
+    if args.rhd or args.task_based_rhd:
+        _run_rhd(params, log, args.seed)
+    else:
+        _run_ionization(params, log, args.seed)
+
+    used = os.path.basename(args.params) + ".used-values"
+    params.write_used_values(used)
+    log.status(f"total runtime {time.time() - t0:.1f} s; used values → {used}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
