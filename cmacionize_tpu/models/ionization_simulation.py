@@ -147,7 +147,15 @@ class HOnlyIonizationSimulation:
             float(g) for g in geom.position_to_grid_coords(config.source_position)
         )
 
-    def run(self, n_iterations: Optional[int] = None):
+    def run(self, n_iterations: Optional[int] = None, adaptive: bool = False):
+        """Run MC iterations.
+
+        adaptive=True uses the width-compacting traversal (one host sync +
+        argsort per iteration).  Measured on the v5e tunnel setup it LOSES to
+        the single-jit path (dispatch latency + sort cost exceed the saved
+        scatter width), so the default is the fully fused path; the knob
+        remains for direct-attached hardware where the tradeoff may flip.
+        """
         cfg = self.config
         n_iterations = n_iterations or cfg.n_iterations
         sigma_dx = cfg.cross_section * self.dx
@@ -159,23 +167,62 @@ class HOnlyIonizationSimulation:
         )
         for iteration in range(n_iterations):
             self.key, subkey = jax.random.split(self.key)
-            self.neutral_fraction, self.jH, n_escaped = h_only_iteration(
-                subkey,
-                self.neutral_fraction,
-                self.number_density,
-                shape=self.geometry.shape,
-                periodic=self.geometry.periodic,
-                n_photons=cfg.n_photons,
-                sigma_dx=sigma_dx,
-                source_gpos=self._source_gpos,
-                jfac_scale=jfac_scale,
-                alpha=cfg.recombination_rate,
-            )
+            if adaptive:
+                self.neutral_fraction, self.jH, n_escaped = (
+                    self._iteration_adaptive(subkey, sigma_dx, jfac_scale)
+                )
+            else:
+                self.neutral_fraction, self.jH, n_escaped = h_only_iteration(
+                    subkey,
+                    self.neutral_fraction,
+                    self.number_density,
+                    shape=self.geometry.shape,
+                    periodic=self.geometry.periodic,
+                    n_photons=cfg.n_photons,
+                    sigma_dx=sigma_dx,
+                    source_gpos=self._source_gpos,
+                    jfac_scale=jfac_scale,
+                    alpha=cfg.recombination_rate,
+                )
             self.log.info(
                 f"iteration {iteration + 1}/{n_iterations}: "
                 f"{int(n_escaped)} / {cfg.n_photons} photons escaped"
             )
         return self.neutral_fraction
+
+    def _iteration_adaptive(self, key, sigma_dx, jfac_scale):
+        from cmacionize_tpu.models import sources as sources_mod
+
+        cfg = self.config
+        shape = self.geometry.shape
+
+        @functools.partial(jax.jit, donate_argnames=())
+        def emit(key, neutral_fraction, number_density):
+            chi = (number_density * neutral_fraction * sigma_dx).reshape(-1)
+            px, py, pz, dx, dy, dz, tau, _, w = sources_mod.emit_point_source(
+                key, cfg.n_photons, self._source_gpos
+            )
+            packets = traversal.make_packets(
+                jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
+                tau, w, shape,
+            )
+            return chi, packets
+
+        @jax.jit
+        def solve(tally, number_density):
+            jH = tally.reshape(shape) * jfac_scale
+            return ionization.hydrogen_neutral_fraction(
+                jH, number_density, cfg.recombination_rate
+            ), jH
+
+        chi, packets = emit(key, self.neutral_fraction, self.number_density)
+        tally = jnp.zeros(chi.shape, chi.dtype)
+        tally, n_absorbed, n_escaped = traversal.trace_packets_adaptive(
+            chi, packets, tally,
+            shape=shape, periodic=self.geometry.periodic,
+        )
+        new_x, jH = solve(tally, self.number_density)
+        return new_x, jH, n_escaped
 
     def stromgren_radius_analytic(self) -> float:
         """Analytic Strömgren radius for the homogeneous H-only setup (m),

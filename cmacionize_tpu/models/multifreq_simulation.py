@@ -286,10 +286,21 @@ class MultiFreqIonizationSimulation:
     # ------------------------------------------------------------ iterations
 
     def _solve_state(self, integrals, do_temp: bool):
-        """Normalize tallies and run the per-cell state solve."""
+        """Normalize tallies and run the per-cell state solve.
+
+        The solves run in float64 on the HOST CPU backend: TPU f64 is
+        software-emulated and the deep secant/fixed-point loops are orders of
+        magnitude slower there (and have crashed the TPU runtime), while the
+        per-iteration data movement (a few MB of integrals) is negligible
+        next to the MC transport.  Committed CPU inputs pin the computation.
+        """
+        cpu = jax.devices("cpu")[0]
+        integrals = jax.device_put(jax.device_get(integrals), cpu)
         cfg = self.config
         shape = self.geometry.shape
-        nd = self.number_density.astype(jnp.float64)
+        nd = jax.device_put(
+            jax.device_get(self.number_density), cpu
+        ).astype(jnp.float64)
         jfac = cfg.luminosity * self.dx / (
             cfg.n_photons * self.geometry.cell_volume
         )
@@ -306,7 +317,7 @@ class MultiFreqIonizationSimulation:
 
         if do_temp:
             T, h0, he0, metals = temp_mod.solve_temperature(
-                self.temperature,
+                jax.device_put(jax.device_get(self.temperature), cpu),
                 j,
                 h,
                 nd,
@@ -315,7 +326,7 @@ class MultiFreqIonizationSimulation:
                 crfac=cfg.crfac,
             )
         else:
-            T = self.temperature
+            T = jax.device_put(jax.device_get(self.temperature), cpu)
             AHe = cfg.abundances["He"]
             alphaH = recombination.recombination_rate("H_n", T)
             alphaHe = recombination.recombination_rate("He_n", T)
@@ -349,13 +360,20 @@ class MultiFreqIonizationSimulation:
         cfg = self.config
         n_iterations = n_iterations or cfg.n_iterations
         shoot = jax.jit(self._mc_shoot)
+        device = jax.devices()[0]  # compute device for the MC transport
         for loop in range(n_iterations):
             self.key, subkey = jax.random.split(self.key)
             # opacity fractions are physical: clamp the stored (possibly >1)
-            # raw iterates when building χ
-            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0)
-            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0)
-            integrals = shoot(subkey, xH, xHe, self.temperature)
+            # raw iterates when building χ; move state (solved on the CPU
+            # backend) back to the transport device
+            xH = jax.device_put(
+                jax.device_get(jnp.clip(self.xion["H_n"], 0.0, 1.0)), device
+            )
+            xHe = jax.device_put(
+                jax.device_get(jnp.clip(self.xion["He_n"], 0.0, 1.0)), device
+            )
+            T_dev = jax.device_put(jax.device_get(self.temperature), device)
+            integrals = shoot(subkey, xH, xHe, T_dev)
             do_temp = cfg.do_temperature and loop >= cfg.minimum_iteration_number
             self.temperature, self.xion, self.j_fields = self._solve_state(
                 integrals, do_temp

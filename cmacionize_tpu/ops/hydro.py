@@ -83,10 +83,19 @@ BC_OUTFLOW = "outflow"
 BC_INFLOW = "inflow"  # fixed ghost state, provided via inflow_state
 
 
-def _pad_axis(arr, axis, bc_lo, bc_hi, n=2, flip_sign=False, inflow_value=None):
-    """Pad one axis with n ghost cells per side according to the BCs."""
+def _pad_axis(
+    arr, axis, bc_lo, bc_hi, n=2, flip_sign=False,
+    inflow_lo=None, inflow_hi=None,
+):
+    """Pad one axis with n ghost cells per side according to the BCs.
 
-    def one_side(a, side, bc):
+    Inflow ghost values may be scalars or full ghost-shaped arrays
+    ([n, ...] along the padded axis) — the latter supports spatially-varying
+    boundary profiles like the Bondi inflow
+    (cf. BondiHydroBoundary, /root/reference/src/HydroBoundary.hpp).
+    """
+
+    def one_side(a, side, bc, inflow_value):
         idx = [slice(None)] * a.ndim
         if bc == BC_PERIODIC:
             idx[axis] = slice(-n, None) if side == "lo" else slice(0, n)
@@ -110,8 +119,8 @@ def _pad_axis(arr, axis, bc_lo, bc_hi, n=2, flip_sign=False, inflow_value=None):
             raise ValueError(f"unknown boundary condition {bc!r}")
         return ghost
 
-    lo = one_side(arr, "lo", bc_lo)
-    hi = one_side(arr, "hi", bc_hi)
+    lo = one_side(arr, "lo", bc_lo, inflow_lo)
+    hi = one_side(arr, "hi", bc_hi, inflow_hi)
     return jnp.concatenate([lo, arr, hi], axis=axis)
 
 
@@ -124,20 +133,22 @@ def pad_primitives(
     """Pad all three axes with ghost cells.
 
     ``boundaries``: ((bc_x_lo, bc_x_hi), (bc_y_lo, bc_y_hi), (bc_z_lo, bc_z_hi)).
-    ``inflow_states``: {(axis, side): Primitives-like 5-tuple of scalars}.
+    ``inflow_states``: {(axis, "lo"|"hi"): 5-tuple of scalar or ghost-shaped
+    arrays (rho, vx, vy, vz, p)}.
     """
     fields = list(w)
     normal = {0: 1, 1: 2, 2: 3}  # field index of the normal velocity per axis
     for axis in range(3):
         bc_lo, bc_hi = boundaries[axis]
         for i, field in enumerate(fields):
-            inflow_value = None
-            if BC_INFLOW in (bc_lo, bc_hi) and inflow_states is not None:
-                # same fixed state on both sides unless given per side
-                state = inflow_states.get((axis, "lo")) or inflow_states.get(
-                    (axis, "hi")
-                )
-                inflow_value = state[i]
+            lo_val = hi_val = None
+            if inflow_states is not None:
+                state_lo = inflow_states.get((axis, "lo"))
+                state_hi = inflow_states.get((axis, "hi"))
+                if state_lo is not None:
+                    lo_val = state_lo[i]
+                if state_hi is not None:
+                    hi_val = state_hi[i]
             fields[i] = _pad_axis(
                 field,
                 axis,
@@ -145,7 +156,8 @@ def pad_primitives(
                 bc_hi,
                 n=n,
                 flip_sign=(i == normal[axis]),
-                inflow_value=inflow_value,
+                inflow_lo=lo_val,
+                inflow_hi=hi_val,
             )
     return Primitives(*fields)
 
@@ -377,3 +389,51 @@ def cfl_timestep(
         for a in range(3)
     ]
     return cfl * jnp.min(jnp.minimum(dt_axes[0], jnp.minimum(dt_axes[1], dt_axes[2])))
+
+
+# ----------------------------------------------------------- isothermal mode
+
+
+def isothermal_hydro_step(
+    u: HydroState,
+    dt,
+    *,
+    sound_speed: float,
+    boundaries,
+    cell_size,
+    gravity=None,
+    inflow_states: Optional[dict] = None,
+    gamma_eff: float = 1.0 + 1e-6,
+) -> HydroState:
+    """Isothermal (γ = 1) step: P = c_s² ρ enforced before and after.
+
+    The reference's γ == 1 mode ignores the energy equation entirely
+    (/root/reference/src/HydroIntegrator.hpp:283-292); here the step runs
+    with γ_eff = 1 + ε (sound speed reduces to c_s) and the energy is reset
+    from the isothermal EOS afterwards.
+    """
+    w = primitives_from_conserved(u, gamma_eff)
+    w = w._replace(p=sound_speed**2 * w.rho)
+    u = conserved_from_primitives(w, gamma_eff)
+    u = hydro_step(
+        u, dt,
+        boundaries=boundaries, cell_size=cell_size, gamma=gamma_eff,
+        gravity=gravity, inflow_states=inflow_states,
+    )
+    w = primitives_from_conserved(u, gamma_eff)
+    w = w._replace(p=sound_speed**2 * w.rho)
+    return conserved_from_primitives(w, gamma_eff)
+
+
+def apply_hydro_mask(u: HydroState, mask, u_masked: HydroState) -> HydroState:
+    """Reset the state inside ``mask`` to fixed values.
+
+    Equivalent of the reference's HydroMask application
+    (BlockSyntaxHydroMask / RescaledICHydroMask,
+    /root/reference/src/HydroMaskFactory.hpp:68-73): regions (e.g. the
+    divergent center of a Bondi setup) are overwritten after every step.
+    """
+    return HydroState(*(
+        jnp.where(mask, masked_field, field)
+        for field, masked_field in zip(u, u_masked)
+    ))

@@ -371,3 +371,54 @@ def spectral_tallies_to_ion_integrals(
     return jnp.dot(
         weights.astype(t2.dtype), t2, preferred_element_type=t2.dtype
     )  # [n_ion + 2, n_cell]
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (width-compacting) traversal for the single-channel hot path
+# ---------------------------------------------------------------------------
+
+_POW2_WIDTHS = (1 << 13, 1 << 15, 1 << 17, 1 << 18, 1 << 19, 1 << 20, 1 << 21, 1 << 22)
+
+
+def trace_packets_adaptive(
+    opacity,
+    packets: PacketBatch,
+    tally,
+    *,
+    shape,
+    periodic=(False, False, False),
+    phase1_steps: int = 32,
+):
+    """Two-phase traversal: full-width march, then compact survivors.
+
+    The lockstep loop pays full batch width every step even as packets
+    terminate (the survival curve of a converged Strömgren state drops from
+    100% to ~15% between steps ~25 and ~40).  After ``phase1_steps`` the live
+    count is read back once and the survivors are compacted into the
+    smallest sufficient power-of-two width before finishing the march —
+    trading one host sync + one argsort for ~40% of the scatter/gather
+    volume.
+
+    Returns (tally, n_absorbed, n_escaped) — per-packet final state is NOT
+    preserved across the compaction; use plain trace_packets when re-emission
+    needs it.
+    """
+    n = packets.size
+    tally, pk = trace_packets(
+        opacity, packets, tally, shape=shape, periodic=periodic,
+        max_steps=phase1_steps,
+    )
+    n_live = int(jnp.sum(pk.active))  # host sync (one round trip)
+    n_absorbed = jnp.sum(pk.absorbed, dtype=jnp.int32)
+    if n_live > 0:
+        width = next(
+            (w for w in _POW2_WIDTHS if w >= n_live and w < n), n
+        )
+        order = jnp.argsort(~pk.active)[:width]
+        sub = PacketBatch(*(f[order] for f in pk))
+        tally, sub = trace_packets(
+            opacity, sub, tally, shape=shape, periodic=periodic
+        )
+        n_absorbed = n_absorbed + jnp.sum(sub.absorbed, dtype=jnp.int32)
+    n_escaped = n - n_absorbed
+    return tally, n_absorbed, n_escaped

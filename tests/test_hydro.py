@@ -127,3 +127,21 @@ def test_uniform_state_is_steady():
     )
     for a, b in zip(u, u2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_bondi_profile_held():
+    """Isothermal Bondi accretion: point-mass gravity + analytic inflow BCs
+    + central mask must HOLD the analytic profile (reduced resolution).
+
+    Mirrors the bondi benchmark acceptance test
+    (/root/reference/benchmarks/bondi.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    from run_bondi import run_bondi, AU, YR
+
+    geometry, profile, u, rho0, r = run_bondi(n_cells=16, t_end=4 * YR)
+    w = hydro.primitives_from_conserved(u, 1.0 + 1e-6)
+    rho = np.asarray(w.rho)
+    sel = (r > 15 * AU) & (r < 45 * AU)
+    rel = np.abs(rho[sel] / rho0[sel] - 1)
+    assert np.median(rel) < 0.08, np.median(rel)
