@@ -1,0 +1,168 @@
+"""Line-emissivity post-processing.
+
+Equivalent of the reference's EmissivityCalculator
+(/root/reference/src/EmissivityCalculator.cpp) and
+EmissivityCalculationSimulation: given a converged ionization structure,
+compute per-cell emissivities (J m^-3 s^-1):
+
+- H recombination lines Hα, Hβ and the HeI 5876 line from Storey & Hummer /
+  Osterbrock fits (EmissivityCalculator.cpp:103-140)
+- the Balmer-jump continuum emission on both sides of 3646 Å from the
+  tabulated Brown & Mathews values (:30-75)
+- all collisionally-excited metal lines from the level-population solve
+  (via cmacionize_tpu.ops.line_cooling.line_strengths)
+
+Everything is vectorized over cells; the reference's per-cell `h0max = 0.2`
+and T > 3000 K emission gate is applied as a mask.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from cmacionize_tpu import constants
+from cmacionize_tpu.ops import line_cooling
+
+# Brown & Mathews Balmer-jump emission coefficients
+# (1e-40 erg cm^3 s^-1 Hz^-1 at the tabulated temperatures), cf.
+# EmissivityCalculator.cpp:20-28
+_BJUMP_T = np.array([4e3, 6e3, 8e3, 1e4, 1.2e4, 1.4e4, 1.6e4, 1.8e4])
+_BJUMP_H_HIGH = np.array([0.162, 0.584, 1.046, 1.437, 1.742, 1.977, 2.159, 2.297])
+_BJUMP_H_LOW = np.array([92.6, 50.9, 33.8, 24.8, 19.53, 16.09, 13.7, 11.96])
+_BJUMP_HE_HIGH = np.array([0.189, 0.622, 1.076, 1.45, 1.74, 1.963, 2.14, 2.27])
+_BJUMP_HE_LOW = np.array([15.7, 9.23, 6.71, 5.49, 4.83, 4.41, 4.135, 3.94])
+
+# named prominent lines: (coolant, transition index) → label; wavelengths in Å
+# (transition order: 0-1,0-2,0-3,0-4,1-2,1-3,1-4,2-3,2-4,3-4)
+NAMED_LINES = {
+    ("NII", 3): "NII_6584",
+    ("NII", 1): "NII_6548",
+    ("OII", 0): "OII_3729",
+    ("OII", 1): "OII_3727",
+    ("OIII", 7): "OIII_4959",
+    ("OIII", 8): "OIII_5007",
+    ("OIII", 9): "OIII_4363",
+    ("SII", 0): "SII_6725",
+    ("NeIII", 1): "NeIII_3869",
+    ("CII", 0): "CII_158mu",
+    ("NIII", 0): "NIII_57mu",
+    ("NeII", 0): "NeII_12mu",
+    ("SIV", 0): "SIV_10mu",
+}
+
+
+def _loglog_interp(T, table):
+    logt = jnp.log(jnp.asarray(T))
+    logtab = jnp.log(jnp.asarray(_BJUMP_T))
+    logv = jnp.log(jnp.asarray(table))
+    i = jnp.clip(jnp.searchsorted(logtab, logt) - 1, 0, 6)
+    frac = (logt - logtab[i]) / (logtab[i + 1] - logtab[i])
+    return jnp.exp(logv[i] + frac * (logv[i + 1] - logv[i]))
+
+
+def balmer_jump_emission(T):
+    """Continuum emission coefficients above/below the Balmer jump
+    (J m^3 s^-1 Å^-1), for H and He: returns (H_high, H_low, He_high, He_low)."""
+    conv_high = 1e-43 * constants.LIGHTSPEED / 3681.0**2
+    conv_low = 1e-43 * constants.LIGHTSPEED / 3643.0**2
+    return (
+        _loglog_interp(T, _BJUMP_H_HIGH) * conv_high,
+        _loglog_interp(T, _BJUMP_H_LOW) * conv_low,
+        _loglog_interp(T, _BJUMP_HE_HIGH) * conv_high,
+        _loglog_interp(T, _BJUMP_HE_LOW) * conv_low,
+    )
+
+
+def calculate_emissivities(
+    number_density,
+    temperature,
+    xion: Dict[str, jnp.ndarray],
+    abundances: Dict[str, float],
+    h0max: float = 0.2,
+) -> Dict[str, jnp.ndarray]:
+    """Per-cell emissivities (J m^-3 s^-1) for the recombination lines,
+    Balmer jump and collisionally-excited lines.
+
+    ``xion`` uses the framework's stage-fraction storage convention (see
+    ionization.metal_ion_fractions).
+    """
+    ntot = jnp.asarray(number_density)
+    T = jnp.asarray(temperature)
+    xH = xion["H_n"]
+    xHe = xion["He_n"]
+    AHe = abundances.get("He", 0.0)
+
+    nhp = ntot * (1.0 - xH)
+    nhep = ntot * (1.0 - xHe) * AHe
+    ne = nhp + nhep
+    T4 = T * 1e-4
+
+    # emission gate (EmissivityCalculator.cpp:84-86)
+    emitting = (xH < h0max) & (T > 3000.0)
+
+    out = {}
+    out["HAlpha"] = ne * nhp * 2.87 * 1.24e-38 * T4 ** (-0.938)
+    out["HBeta"] = ne * nhp * 1.24e-38 * T4 ** (-0.878)
+    out["HII"] = ne * nhp * 4.9e-40 * T4 ** (-0.848)
+    out["HeI_5876"] = ne * nhep * 1.69e-38 * T4 ** (-1.065)
+
+    bj_h_high, bj_h_low, bj_he_high, bj_he_low = balmer_jump_emission(T)
+    out["Bjump_high"] = ne * (nhp * bj_h_high + nhep * bj_he_high)
+    out["Bjump_low"] = ne * (nhp * bj_h_low + nhep * bj_he_low)
+
+    # collisionally excited lines
+    from cmacionize_tpu.ops.temperature import coolant_abundances
+
+    metals = {k: v for k, v in xion.items() if k not in ("H_n", "He_n")}
+    abund = coolant_abundances(xH, metals, abundances)
+    five, two = line_cooling.line_strengths(T, ne, abund)
+    for (coolant, trans), label in NAMED_LINES.items():
+        if coolant in line_cooling.FIVE_NAMES:
+            ion_index = line_cooling.FIVE_NAMES.index(coolant)
+            value = five[..., ion_index, trans]
+        else:
+            ion_index = line_cooling.TWO_NAMES.index(coolant)
+            value = two[..., ion_index]
+        out[label] = ntot * value
+
+    # special combined line: [SII] 6716+6731 doublet uses transitions 0-1,0-2
+    sii = line_cooling.FIVE_NAMES.index("SII")
+    out["SII_6725"] = ntot * (five[..., sii, 0] + five[..., sii, 1])
+
+    return {k: jnp.where(emitting, v, 0.0) for k, v in out.items()}
+
+
+def emissivity_post_processing(snapshot_in, snapshot_out, abundances=None):
+    """EmissivityCalculationSimulation equivalent: read a snapshot, compute
+    emissivities, write them back (cf.
+    /root/reference/src/EmissivityCalculationSimulation.cpp)."""
+    import h5py
+
+    from cmacionize_tpu.models import ions as ions_mod
+
+    abundances = abundances or dict(ions_mod.DEFAULT_ABUNDANCES)
+    with h5py.File(snapshot_in, "r") as handle:
+        parts = handle["PartType0"]
+        nd = np.asarray(parts["NumberDensity"])
+        T = np.asarray(parts["Temperature"])
+        xion = {}
+        for name in ions_mod.ION_NAMES:
+            key = f"NeutralFraction{name}" if name not in ("H_n",) else "NeutralFractionH"
+            if name == "He_n":
+                key = "NeutralFractionHe"
+            xion[name] = (
+                np.asarray(parts[key]) if key in parts else np.zeros_like(nd)
+            )
+    emis = calculate_emissivities(nd, T, xion, abundances)
+    import shutil
+
+    shutil.copy(snapshot_in, snapshot_out)
+    with h5py.File(snapshot_out, "a") as handle:
+        for label, values in emis.items():
+            handle["PartType0"].create_dataset(
+                f"Emissivity{label}", data=np.asarray(values)
+            )
+    return emis

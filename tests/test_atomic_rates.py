@@ -124,3 +124,55 @@ def test_charge_transfer_golden():
         if stage < 5 and ion > 0:
             got = float(ct.ionization_rate_H(name, t4)) * 1e6
             assert got == pytest.approx(ion, rel=1e-6), (name, T, "ion")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST), reason="reference not mounted")
+def test_balmer_jump_golden():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from cmacionize_tpu.ops import emissivity
+
+    # bjump_testdata.txt: T, H_high, H_low, He_high, He_low
+    # (in 1e-40 erg cm^3/s/Hz, the raw tabulated units before conversion)
+    # fixture: T, then the 4 coefficients in 1e-20 erg cm^3 s^-1 A^-1
+    # -> SI via 1e-20 * 1e-7 (erg) * 1e-6 (cm^3) = 1e-33
+    # (cf. testEmissivityCalculator.cpp:59-77, tolerance 1e-3)
+    data = _load_fixture("bjump_testdata.txt")
+    T = data[:, 0]
+    got = emissivity.balmer_jump_emission(T)
+    for col, values in enumerate(got):
+        np.testing.assert_allclose(
+            np.asarray(values), data[:, 1 + col] * 1e-33, rtol=1e-3
+        )
+
+
+def test_emissivities_structure():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from cmacionize_tpu.models import ions as ions_mod
+    from cmacionize_tpu.ops import emissivity
+
+    shape = (6, 6, 6)
+    nd = np.full(shape, 1e8)
+    T = np.full(shape, 9000.0)
+    xion = {name: np.full(shape, 0.1) for name in ions_mod.ION_NAMES}
+    xion["H_n"] = np.full(shape, 1e-3)
+    xion["He_n"] = np.full(shape, 1e-2)
+    out = emissivity.calculate_emissivities(
+        nd, T, xion, dict(ions_mod.DEFAULT_ABUNDANCES)
+    )
+    assert "HAlpha" in out and "OIII_5007" in out and "Bjump_high" in out
+    for k, v in out.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+        assert np.all(np.asarray(v) >= 0), k
+    # Halpha/Hbeta ratio ~ 2.87 (case B)
+    ratio = float(np.asarray(out["HAlpha"])[0, 0, 0] / np.asarray(out["HBeta"])[0, 0, 0])
+    assert ratio == pytest.approx(2.87 * (0.9) ** (-0.06), rel=0.05)
+    # neutral cells emit nothing
+    xion["H_n"] = np.full(shape, 0.9)
+    out2 = emissivity.calculate_emissivities(
+        nd, T, xion, dict(ions_mod.DEFAULT_ABUNDANCES)
+    )
+    assert float(np.asarray(out2["HAlpha"]).max()) == 0.0
