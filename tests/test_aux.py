@@ -1,0 +1,105 @@
+"""Tests for auxiliary subsystems: timeline, signals, statistics, potentials."""
+
+import numpy as np
+import pytest
+
+from cmacionize_tpu.utils.timeline import TimeLine
+from cmacionize_tpu.utils import signals
+
+
+def test_timeline_hits_end_exactly():
+    tl = TimeLine(0.0, 1.0, 1e-4, 0.1)
+    total = 0.0
+    steps = 0
+    while True:
+        total += tl.current_timestep
+        steps += 1
+        if not tl.advance():
+            break
+        assert steps < 100000
+    assert total == pytest.approx(1.0, rel=1e-9)
+
+
+def test_timeline_power_of_two_adjustment():
+    tl = TimeLine(0.0, 1.0, 1e-6, 0.25)
+    dt0 = tl.current_timestep
+    dt1 = tl.set_timestep(dt0 / 3.0)  # must halve (twice)
+    assert dt1 == pytest.approx(dt0 / 4.0)
+    # can only double back at aligned times
+    dt2 = tl.set_timestep(dt0)
+    assert dt2 == pytest.approx(dt0)
+
+
+def test_signals_flag():
+    import os
+    import signal as _signal
+
+    signals.reset()
+    signals.install()
+    assert not signals.stop_requested()
+    os.kill(os.getpid(), _signal.SIGINT)
+    assert signals.stop_requested()
+    signals.reset()
+
+
+def test_point_mass_and_disc_patch():
+    from cmacionize_tpu.ops.potentials import (
+        CoredDMPotential,
+        DiscPatchPotential,
+        PointMassPotential,
+    )
+
+    pos = np.asarray([[1e12, 0.0, 0.0], [0.0, 0.0, 2e12]])
+    g = PointMassPotential(mass=2e30).acceleration(pos)
+    # magnitude GM/r^2, pointing inward
+    assert g[0, 0] == pytest.approx(-6.67408e-11 * 2e30 / 1e24, rel=1e-6)
+    assert g[1, 2] == pytest.approx(-6.67408e-11 * 2e30 / 4e24, rel=1e-6)
+
+    g = DiscPatchPotential(surface_density=1.0, scale_height=1e10).acceleration(pos)
+    assert g[1, 2] < 0 and g[0, 2] == pytest.approx(0.0)
+
+    g = CoredDMPotential(central_density=1e-20, core_radius=1e12).acceleration(pos)
+    assert g[0, 0] < 0
+
+
+def test_fft_self_gravity_point_mass_limit():
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.ops.potentials import fft_self_gravity
+
+    # a compact central mass in a periodic box: near-field acceleration
+    # should approach GM/r^2 at radii well inside the box
+    n = 64
+    box = 1.0e16
+    dx = box / n
+    rho = np.zeros((n, n, n))
+    rho[n // 2, n // 2, n // 2] = 1.0
+    mass = 1.0 * dx**3
+    gx, gy, gz = fft_self_gravity(jnp.asarray(rho), (dx, dx, dx))
+    gx = np.asarray(gx)
+    # along the x axis at r = 8 dx
+    r = 8 * dx
+    g_measured = -gx[n // 2 + 8, n // 2, n // 2]
+    g_expected = 6.67408e-11 * mass / r**2
+    assert g_measured == pytest.approx(g_expected, rel=0.05)
+
+
+def test_statistics_logger(tmp_path):
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.ops import hydro
+    from cmacionize_tpu.utils.statistics import StatisticsLogger
+
+    w = hydro.Primitives(
+        rho=jnp.full((4, 4, 4), 2.0),
+        vx=jnp.full((4, 4, 4), 1.0),
+        vy=jnp.zeros((4, 4, 4)),
+        vz=jnp.zeros((4, 4, 4)),
+        p=jnp.full((4, 4, 4), 1.0),
+    )
+    u = hydro.conserved_from_primitives(w, 5.0 / 3.0)
+    logger = StatisticsLogger(str(tmp_path / "stats.txt"))
+    row = logger.log(0.5, u, cell_volume=2.0)
+    assert row["mass"] == pytest.approx(2.0 * 64 * 2.0)
+    assert row["mom_x"] == pytest.approx(2.0 * 64 * 2.0)
+    assert (tmp_path / "stats.txt").read_text().count("\n") == 2
