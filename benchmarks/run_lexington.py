@@ -61,14 +61,32 @@ def main():
     r_ion_He = (3 * (xHe < 0.5).sum() * geom.cell_volume / (4 * np.pi)) ** (1 / 3)
     print(f"H ionization front radius:  {r_ion_H / pc:.2f} pc")
     print(f"He ionization front radius: {r_ion_He / pc:.2f} pc")
-    far = r > 1.3 * r_ion_H
+    far = r > 1.2 * r_ion_H
     print(f"mean T inside: {T[r < 0.8 * r_ion_H].mean():.0f} K; "
-          f"outside: {T[far].mean():.0f} K")
+          f"median xH outside: {np.median(xH[far]):.3f}")
 
     assert 6000.0 < T[c] < 15000.0, "interior temperature not HII-like"
     assert xH[c] < 1e-2
     assert r_ion_He <= r_ion_H * 1.05
-    assert T[far].mean() < 2000.0, "exterior should sit at the neutral floor"
+    # exterior must be NEUTRAL; its temperature is not asserted — in
+    # radiation-starved cells both this code and the reference keep the last
+    # secant iterate (physically meaningless where j ≈ 0)
+    assert np.median(xH[far]) > 0.9, "exterior should be neutral"
+    # self-consistency: the front radius must match the Stromgren radius for
+    # alpha_B evaluated at the actual interior temperature
+    from cmacionize_tpu.ops import recombination
+
+    T_in = float(T[r < 0.8 * r_ion_H].mean())
+    alpha = float(recombination.recombination_rate("H_n", T_in))
+    n_h = config.number_density
+    r_stromgren = (
+        3 * config.luminosity / (4 * np.pi * n_h**2 * alpha)
+    ) ** (1 / 3)
+    print(f"Stromgren radius at alpha({T_in:.0f} K): {r_stromgren / pc:.2f} pc")
+    assert 0.85 < r_ion_H / r_stromgren < 1.15, (
+        r_ion_H / pc,
+        r_stromgren / pc,
+    )
     print("PASS")
 
 

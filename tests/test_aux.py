@@ -103,3 +103,85 @@ def test_statistics_logger(tmp_path):
     assert row["mass"] == pytest.approx(2.0 * 64 * 2.0)
     assert row["mom_x"] == pytest.approx(2.0 * 64 * 2.0)
     assert (tmp_path / "stats.txt").read_text().count("\n") == 2
+
+
+def test_turbulence_forcing_properties():
+    import jax
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.ops.turbulence import TurbulenceForcing, apply_forcing
+    from cmacionize_tpu.ops import hydro
+
+    L = 1.0
+    forcing = TurbulenceForcing.build(
+        box_sides=L, k_min=1.0, k_max=3.0, k_forcing=2.0,
+        concentration_factor=0.2, power_forcing=1e-2, driving_timestep=0.1,
+    )
+    assert forcing.n_modes > 10
+    # solenoidal basis: e1, e2 orthogonal to k and to each other
+    khat = forcing.k_table / np.linalg.norm(forcing.k_table, axis=1, keepdims=True)
+    np.testing.assert_allclose((khat * forcing.e1).sum(1), 0.0, atol=1e-12)
+    np.testing.assert_allclose((khat * forcing.e2).sum(1), 0.0, atol=1e-12)
+    np.testing.assert_allclose((forcing.e1 * forcing.e2).sum(1), 0.0, atol=1e-12)
+
+    # force field: zero mean, finite, varies in space
+    n = 16
+    x = (np.arange(n) + 0.5) / n * L
+    centers = np.stack(np.meshgrid(x, x, x, indexing="ij"), -1)
+    f = np.asarray(forcing.force_field(jax.random.PRNGKey(0), centers))
+    assert f.shape == (n, n, n, 3)
+    assert np.all(np.isfinite(f))
+    assert abs(f.mean()) < 0.1 * np.abs(f).std()
+
+    # kick conserves mass, changes kinetic energy consistently
+    w = hydro.Primitives(
+        rho=jnp.full((n, n, n), 1.0),
+        vx=jnp.zeros((n, n, n)), vy=jnp.zeros((n, n, n)),
+        vz=jnp.zeros((n, n, n)), p=jnp.full((n, n, n), 1.0),
+    )
+    u = hydro.conserved_from_primitives(w, 5.0 / 3.0)
+    u2 = apply_forcing(u, jnp.asarray(f), 0.1)
+    w2 = hydro.primitives_from_conserved(u2, 5.0 / 3.0)
+    # pressure (internal energy) unchanged by a pure kick
+    np.testing.assert_allclose(np.asarray(w2.p), 1.0, rtol=1e-6)
+    assert float(jnp.abs(w2.vx).max()) > 0
+
+
+def test_tracker_manager(tmp_path):
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.trackers import (
+        TrackerManager,
+        field_pdf,
+        surface_density,
+    )
+
+    PC = 3.086e16
+    geometry = GridGeometry((-PC,) * 3, (2 * PC,) * 3, (8, 8, 8))
+    edges = np.linspace(3.288e15, 4 * 3.288e15, 5)
+    yaml_file = tmp_path / "trackers.yml"
+    yaml_file.write_text(
+        "positions:\n  - ['0. pc', '0. pc', '0. pc']\n"
+        "  - ['0.5 pc', '0. pc', '0. pc']\n"
+    )
+    manager = TrackerManager.from_yaml(geometry, str(yaml_file), edges)
+    assert len(manager.cell_indices) == 2
+
+    # synthetic spectral tally: bin b deposits value (b+1) in every cell
+    n_cell = geometry.n_cells
+    tally = np.repeat(np.arange(1, 5, dtype=np.float64), n_cell)
+    manager.accumulate(jnp.asarray(tally))
+    manager.accumulate(jnp.asarray(tally))
+    spectra = manager.spectra()
+    np.testing.assert_allclose(spectra[0], 2 * np.arange(1, 5))
+    out = tmp_path / "spectra.txt"
+    manager.write(str(out))
+    assert out.read_text().count("\n") == 5
+
+    # live outputs
+    field = jnp.ones((8, 8, 8))
+    sd = surface_density(field, axis=2, cell_size=2.0)
+    np.testing.assert_allclose(np.asarray(sd), 16.0)
+    edges2, counts = field_pdf(field, bins=8, log=False)
+    assert counts.sum() == 512
