@@ -28,6 +28,16 @@ from cmacionize_tpu.models.ionization_simulation import (
 
 
 def _deposit_m_over_v(geometry, positions, masses):
+    # prefer the native C++ kernel (cmacionize_tpu/native) when built
+    from cmacionize_tpu import native
+
+    grid = native.deposit_m_over_v(
+        positions, masses,
+        np.asarray(geometry.anchor), np.asarray(geometry.sides),
+        np.asarray(geometry.shape),
+    )
+    if grid is not None:
+        return grid
     shape = np.asarray(geometry.shape)
     cell = geometry.cell_size
     idx = ((positions - np.asarray(geometry.anchor)) / cell).astype(int)
