@@ -123,3 +123,78 @@ def emit_point_source(
     freq = None if spectrum is None else spectrum.sample(key_freq, n, dtype)
     weight = jnp.ones((n,), dtype)
     return px, py, pz, dx, dy, dz, tau, freq, weight
+
+
+def uniform_spectrum(
+    nu_min: float = 3.288e15, nu_max: float = 4.0 * 3.288e15
+) -> TabulatedSpectrum:
+    """Flat photon-number spectrum over the ionizing range
+    (/root/reference/src/UniformPhotonSourceSpectrum.hpp)."""
+    nu = np.linspace(nu_min, nu_max, 2)
+    return TabulatedSpectrum(frequencies=nu, cdf=np.asarray([0.0, 1.0]))
+
+
+def faucher_giguere_spectrum(redshift: float = 0.0) -> TabulatedSpectrum:
+    """Faucher-Giguère et al. UV-background spectrum at a given redshift.
+
+    Equivalent of /root/reference/src/FaucherGiguerePhotonSourceSpectrum.cpp:
+    the published December-2011 UVB tables (repackaged in
+    cmacionize_tpu/data/fg_uvb_dec11.npz; J_ν in 1e-21 erg s⁻¹ cm⁻² Hz⁻¹
+    sr⁻¹, ν in Rydberg) are linearly interpolated in redshift and converted
+    to a photon-number inverse-CDF over the ionizing range [ν_H, 4 ν_H].
+    """
+    from cmacionize_tpu.data import _load
+
+    data = _load("fg_uvb_dec11.npz")
+    redshifts = data["redshifts"]
+    if not (redshifts[0] <= redshift <= redshifts[-1]):
+        raise ValueError(f"redshift {redshift} outside table range")
+    iz = int(np.searchsorted(redshifts, redshift))
+    iz = max(1, min(iz, len(redshifts) - 1))
+    zlo, zhi = redshifts[iz - 1], redshifts[iz]
+    frac = 0.0 if zhi == zlo else (redshift - zlo) / (zhi - zlo)
+    J = (1.0 - frac) * data["J_nu"][iz - 1] + frac * data["J_nu"][iz]
+
+    freqs = data["frequencies_ryd"] * 3.289e15  # Ryd -> Hz
+    mask = (freqs >= 3.288e15) & (freqs <= 4.0 * 3.288e15)
+    nu = freqs[mask]
+    # photon-number spectrum: J_nu / (h nu); constants cancel in the CDF
+    pdf = J[mask] / nu
+    cdf = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(nu))]
+    )
+    cdf /= cdf[-1]
+    return TabulatedSpectrum(frequencies=nu, cdf=cdf)
+
+
+def masked_spectrum(
+    spectrum: TabulatedSpectrum, mask_fn, n_bins: int = 1000
+) -> TabulatedSpectrum:
+    """Apply a transmission mask (ν → [0, 1]) to a spectrum.
+
+    Equivalent of MaskedPhotonSourceSpectrum + the
+    LinearPhotonSourceSpectrumMask family
+    (/root/reference/src/PhotonSourceSpectrumMaskFactory.hpp:63): the
+    masked PDF is re-tabulated and renormalized.
+    """
+    nu = np.linspace(spectrum.frequencies[0], spectrum.frequencies[-1], n_bins)
+    cdf_at = np.interp(nu, spectrum.frequencies, spectrum.cdf)
+    pdf = np.gradient(cdf_at, nu)
+    pdf = pdf * np.asarray([mask_fn(v) for v in nu])
+    cdf = np.concatenate(
+        [[0.0], np.cumsum(0.5 * (pdf[1:] + pdf[:-1]) * np.diff(nu))]
+    )
+    if cdf[-1] <= 0:
+        raise ValueError("mask removed the entire spectrum")
+    return TabulatedSpectrum(frequencies=nu, cdf=cdf / cdf[-1])
+
+
+def linear_mask(nu_zero: float, nu_one: float):
+    """Linear transmission ramp between two frequencies
+    (LinearPhotonSourceSpectrumMask)."""
+
+    def mask(nu):
+        t = (nu - nu_zero) / (nu_one - nu_zero)
+        return float(np.clip(t, 0.0, 1.0))
+
+    return mask

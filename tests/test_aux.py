@@ -185,3 +185,32 @@ def test_tracker_manager(tmp_path):
     np.testing.assert_allclose(np.asarray(sd), 16.0)
     edges2, counts = field_pdf(field, bins=8, log=False)
     assert counts.sum() == 512
+
+
+def test_spectra_family():
+    import jax
+
+    from cmacionize_tpu.models import sources
+
+    # uniform: mean frequency = midpoint
+    nu0 = 3.288e15
+    spec = sources.uniform_spectrum()
+    s = np.asarray(spec.sample(jax.random.PRNGKey(0), 50000))
+    assert s.mean() == pytest.approx(2.5 * nu0, rel=0.01)
+
+    # Faucher-Giguere UVB: softer than flat (mean below midpoint), in range
+    fg = sources.faucher_giguere_spectrum(redshift=0.5)
+    s = np.asarray(fg.sample(jax.random.PRNGKey(1), 50000))
+    assert nu0 <= s.min() and s.max() <= 4 * nu0
+    assert s.mean() < 2.0 * nu0
+    with pytest.raises(ValueError):
+        sources.faucher_giguere_spectrum(redshift=99.0)
+
+    # masked planck: high-pass ramp removes the soft photons
+    planck = sources.planck_spectrum(40000.0)
+    ramp = sources.linear_mask(2.0 * nu0, 2.5 * nu0)
+    masked = sources.masked_spectrum(planck, ramp)
+    s_masked = np.asarray(masked.sample(jax.random.PRNGKey(2), 20000))
+    s_plain = np.asarray(planck.sample(jax.random.PRNGKey(2), 20000))
+    assert s_masked.mean() > s_plain.mean()
+    assert s_masked.min() > 1.9 * nu0
