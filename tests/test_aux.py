@@ -214,3 +214,71 @@ def test_spectra_family():
     s_plain = np.asarray(planck.sample(jax.random.PRNGKey(2), 20000))
     assert s_masked.mean() > s_plain.mean()
     assert s_masked.min() > 1.9 * nu0
+
+
+def test_derijcke_cooling():
+    from cmacionize_tpu.ops import derijcke, hydro
+    import jax.numpy as jnp
+
+    # Lambda rises steeply between 1e4 and 1e5 K (the HI/metal line peak)
+    l4 = float(derijcke.cooling_rate(1e4))
+    l5 = float(derijcke.cooling_rate(1e5))
+    assert l4 > 0 and l5 > l4
+    # out-of-range temperatures clamp
+    assert float(derijcke.cooling_rate(1.0)) == pytest.approx(
+        float(derijcke.cooling_rate(10.0))
+    )
+    # cooling substep lowers energy but never below the floor
+    w = hydro.Primitives(
+        rho=jnp.full((4, 4, 4), 1e8 * 1.672621898e-27),
+        vx=jnp.zeros((4, 4, 4)), vy=jnp.zeros((4, 4, 4)),
+        vz=jnp.zeros((4, 4, 4)),
+        p=jnp.full((4, 4, 4), 1e8 * 1.38064852e-23 * 1e6),  # hot: 1e6 K
+    )
+    u = hydro.conserved_from_primitives(w, 5.0 / 3.0)
+    u2 = derijcke.cooling_substep(u, dt=1e10, gamma=5.0 / 3.0)
+    assert float(u2.energy.mean()) < float(u.energy.mean())
+    assert float(u2.energy.min()) > 0
+
+
+def test_block_syntax_density(tmp_path):
+    from cmacionize_tpu.models.density_functions import (
+        Block,
+        block_syntax,
+        blocks_from_yaml,
+        homogeneous,
+        spiral_galaxy,
+    )
+    from cmacionize_tpu.models.grid import GridGeometry
+
+    PC = 3.086e16
+    geometry = GridGeometry((-PC,) * 3, (2 * PC,) * 3, (16, 16, 16))
+
+    yaml_file = tmp_path / "blocks.yml"
+    yaml_file.write_text(
+        "number of blocks: 2\n"
+        "block[0]:\n"
+        "  origin: ['0. pc', '0. pc', '0. pc']\n"
+        "  sides: ['2. pc', '2. pc', '2. pc']\n"
+        "  type: cube\n"
+        "  number density: '100. cm^-3'\n"
+        "  initial temperature: '100. K'\n"
+        "block[1]:\n"
+        "  origin: ['0. pc', '0. pc', '0. pc']\n"
+        "  sides: ['0.5 pc', '0.5 pc', '0.5 pc']\n"
+        "  type: sphere\n"
+        "  number density: '1000. cm^-3'\n"
+        "  initial temperature: '50. K'\n"
+    )
+    blocks = blocks_from_yaml(str(yaml_file))
+    assert len(blocks) == 2 and blocks[1].kind == "sphere"
+    fields = block_syntax(geometry, blocks)
+    c = 8
+    assert fields.number_density[c, c, c] == pytest.approx(1e9)  # sphere
+    assert fields.number_density[2, 2, 2] == pytest.approx(1e8)  # cube
+    assert fields.temperature[c, c, c] == pytest.approx(50.0)
+
+    h = homogeneous(geometry, 1e8, 8000.0)
+    assert h.number_density.mean() == pytest.approx(1e8)
+    sg = spiral_galaxy(geometry, 1e9, PC, 0.2 * PC)
+    assert sg.number_density[c, c, c] > sg.number_density[0, 0, c]
