@@ -26,4 +26,18 @@ Package layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Honor JAX_PLATFORMS even when the interpreter environment pre-imports jax
+# (e.g. a sitecustomize that registers an accelerator plugin before user
+# code runs, which makes the env var a no-op).  This restores the standard
+# JAX platform-selection contract for CLI subprocesses and tests.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # jax missing or backends already initialized
+        pass
+
 from cmacionize_tpu import constants  # noqa: F401
