@@ -198,7 +198,23 @@ class RHDSimulation:
 
     # ------------------------------------------------------------------- run
 
-    def run(self, n_steps: Optional[int] = None, log_every: int = 50):
+    def run(
+        self,
+        n_steps: Optional[int] = None,
+        log_every: int = 50,
+        restart_manager=None,
+        statistics=None,
+    ):
+        """Advance the simulation.
+
+        ``restart_manager``: optional io.restart.RestartManager — checkpoints
+        are written on its wall-clock cadence and on SIGINT (graceful stop,
+        cf. the reference's RestartManager + Signals integration).
+        ``statistics``: optional utils.statistics.StatisticsLogger.
+        """
+        from cmacionize_tpu.utils import signals
+
+        signals.install()
         cfg = self.config
         if n_steps is None:
             n_steps = int(round(cfg.total_time / cfg.timestep))
@@ -215,7 +231,45 @@ class RHDSimulation:
                     f"max|v|={float(jnp.max(jnp.abs(w.vx))):.3g} m/s "
                     f"<xH>={float(jnp.mean(self.neutral_fraction)):.3f}"
                 )
+            if statistics is not None:
+                statistics.log(self.time, self.state, self.geometry.cell_volume)
+            stopping = signals.stop_requested()
+            if restart_manager is not None and (restart_manager.due() or stopping):
+                self.write_restart(restart_manager)
+            if stopping:
+                self.log.warning("graceful stop requested; exiting time loop")
+                break
         return self.state, self.neutral_fraction
+
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        arrays = {
+            "rho": self.state.rho,
+            "mom_x": self.state.mom_x,
+            "mom_y": self.state.mom_y,
+            "mom_z": self.state.mom_z,
+            "energy": self.state.energy,
+            "neutral_fraction": self.neutral_fraction,
+            "rng_key": jax.random.key_data(self.key),
+        }
+        return manager.write(arrays, {"time": self.time})
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+        from cmacionize_tpu.ops.hydro import HydroState
+
+        arrays, scalars = RestartManager.load(filename)
+        self.state = HydroState(
+            rho=jnp.asarray(arrays["rho"]),
+            mom_x=jnp.asarray(arrays["mom_x"]),
+            mom_y=jnp.asarray(arrays["mom_y"]),
+            mom_z=jnp.asarray(arrays["mom_z"]),
+            energy=jnp.asarray(arrays["energy"]),
+        )
+        self.neutral_fraction = jnp.asarray(arrays["neutral_fraction"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.time = float(scalars["time"])
 
     # ------------------------------------------------------------- analysis
 

@@ -23,6 +23,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# several test modules need f64 solves; enable globally so results don't
+# depend on test collection order
+jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; got " + str(jax.devices())

@@ -72,3 +72,48 @@ def test_starbench_early_expansion():
     # no negative pressures
     w = hydro.primitives_from_conserved(state, config.gamma)
     assert float(np.asarray(w.p).min()) > 0
+
+
+def test_rhd_restart_round_trip(tmp_path):
+    """Checkpoint mid-run, resume in a fresh driver, bitwise-identical state
+    evolution (the reference's restart contract,
+    /root/reference/src/RestartManager.hpp)."""
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.io.restart import RestartManager
+
+    config = RHDConfig(
+        geometry=GridGeometry(
+            anchor=(-1.256 * PC,) * 3, sides=(2.512 * PC,) * 3, shape=(12, 12, 12)
+        ),
+        gamma=1.0001,
+        timestep=8.9e9,
+        total_time=8.9e11,
+        luminosity=1e49,
+        source_position=(0.0, 0.0, 0.0),
+        cross_section=6.3e-22,
+        recombination_rate=2.7e-19,
+        n_photons=2000,
+        nloop=1,
+        background_density=3.113e9,
+    )
+    sim = RHDSimulation(config, seed=9)
+    sim.run(n_steps=5, log_every=10**9)
+    manager = RestartManager(str(tmp_path), interval_seconds=1e9)
+    checkpoint = sim.write_restart(manager)
+
+    # continue the original
+    sim.run(n_steps=3, log_every=10**9)
+
+    # resume a fresh driver from the checkpoint and take the same 3 steps
+    sim2 = RHDSimulation(config, seed=1234)
+    sim2.load_restart(checkpoint)
+    sim2.run(n_steps=3, log_every=10**9)
+
+    assert sim2.time == sim.time
+    np.testing.assert_array_equal(
+        np.asarray(sim.state.rho), np.asarray(sim2.state.rho)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sim.neutral_fraction), np.asarray(sim2.neutral_fraction)
+    )
