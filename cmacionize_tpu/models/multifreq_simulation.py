@@ -126,6 +126,15 @@ class MultiFreqIonizationSimulation:
     ):
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
+        # the solves run on the host CPU backend; register it if the session
+        # runs with an accelerator-only platform list (e.g. JAX_PLATFORMS=axon)
+        try:
+            jax.devices("cpu")
+        except RuntimeError:
+            platforms = jax.config.jax_platforms or ""
+            jax.config.update(
+                "jax_platforms", f"{platforms},cpu" if platforms else "cpu"
+            )
         geom = config.geometry
         cell = geom.cell_size
         if not np.allclose(cell, cell[0], rtol=1e-6):

@@ -282,3 +282,36 @@ def test_block_syntax_density(tmp_path):
     assert h.number_density.mean() == pytest.approx(1e8)
     sg = spiral_galaxy(geometry, 1e9, PC, 0.2 * PC)
     assert sg.number_density[c, c, c] > sg.number_density[0, 0, c]
+
+
+def test_discrete_source_set(tmp_path):
+    import jax
+
+    from cmacionize_tpu.models import sources
+    from cmacionize_tpu.models.grid import GridGeometry
+
+    PC = 3.086e16
+    geometry = GridGeometry((-PC,) * 3, (2 * PC,) * 3, (16, 16, 16))
+    ascii_file = tmp_path / "sources.txt"
+    ascii_file.write_text(
+        "# x y z L\n"
+        f"{-0.5 * PC} 0 0 3e49\n"
+        f"{0.5 * PC} 0 0 1e49\n"
+    )
+    src_set = sources.DiscreteSourceSet.from_ascii(str(ascii_file))
+    assert src_set.total_luminosity == pytest.approx(4e49)
+
+    n = 40000
+    px, py, pz, dx, dy, dz, tau, _, w = sources.emit_source_set(
+        jax.random.PRNGKey(0), n, src_set, geometry
+    )
+    px = np.asarray(px)
+    # 3:1 luminosity split -> 3:1 packet split between x=4 and x=12 (grid)
+    left = (px < 8).sum()
+    assert left / n == pytest.approx(0.75, abs=0.01)
+
+    rand_set = sources.DiscreteSourceSet.uniform_random(
+        1, 10, (-PC,) * 3, (2 * PC,) * 3, 1e48
+    )
+    assert rand_set.positions.shape == (10, 3)
+    assert np.all(np.abs(rand_set.positions) <= PC)
