@@ -129,3 +129,20 @@ def grid_from_snapshot(
     np.add.at(grid, tuple(idx.T), values)
     np.add.at(counts, tuple(idx.T), 1.0)
     return np.where(counts > 0, grid / np.maximum(counts, 1), 0.0)
+
+
+def write_ascii_snapshot(filename, geometry, fields, time: float = 0.0):
+    """Plain-text snapshot dump (AsciiFileDensityGridWriter equivalent,
+    /root/reference/src/AsciiFileDensityGridWriter.cpp): one row per cell
+    with coordinates followed by the field values."""
+    names = sorted(fields)
+    coordinates = (
+        geometry.cell_centers() - np.asarray(geometry.anchor)
+    ).reshape(-1, 3)
+    columns = [np.asarray(fields[name]).reshape(len(coordinates), -1)
+               for name in names]
+    with open(filename, "w") as handle:
+        handle.write(f"# time = {time}\n")
+        handle.write("# x y z " + " ".join(names) + "\n")
+        data = np.hstack([coordinates] + columns)
+        np.savetxt(handle, data, fmt="%.8e")

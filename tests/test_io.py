@@ -63,3 +63,37 @@ def test_restart_round_trip(tmp_path):
     np.testing.assert_allclose(loaded_arrays["T"], arrays["T"])
     assert loaded_scalars == scalars
     assert manager.due()
+
+
+def test_ascii_snapshot(tmp_path):
+    from cmacionize_tpu.io.gadget import write_ascii_snapshot
+
+    geometry = GridGeometry((0.0,) * 3, (8.0,) * 3, (4, 4, 4))
+    path = tmp_path / "snap.txt"
+    write_ascii_snapshot(
+        str(path), geometry, {"NumberDensity": np.arange(64.0).reshape(4, 4, 4)}
+    )
+    data = np.loadtxt(path)
+    assert data.shape == (64, 4)
+    np.testing.assert_allclose(data[:, 3], np.arange(64.0))
+
+
+def test_timer_and_timelogger(tmp_path):
+    import time as _time
+
+    from cmacionize_tpu.utils.timer import TimeLogger, Timer, peak_memory_bytes
+
+    timer = Timer()
+    _time.sleep(0.01)
+    assert timer.value() >= 0.01
+    timer.stop()
+
+    logger = TimeLogger()
+    with logger.scope("outer"):
+        with logger.scope("inner"):
+            _time.sleep(0.005)
+    report = logger.report()
+    assert "outer" in report and "  inner" in report
+    logger.write(str(tmp_path / "time_log.txt"))
+    assert (tmp_path / "time_log.txt").exists()
+    assert peak_memory_bytes() > 1024**2
