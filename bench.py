@@ -44,8 +44,9 @@ def main():
 
     packets_per_s = n_timed * config.n_photons / elapsed
 
-    # Baseline: C++ reference (2.0 task-based), measured on this host's CPU
-    # and linearly scaled to the 36-thread reference node (see BASELINE.md).
+    # Baseline: the C++ reference (task-based mode) measured on THIS host's
+    # CPU running the identical workload (BASELINE.md "Measured"); the
+    # hypothetical 36-thread extrapolation is discussed there as well.
     baseline_packets_per_s = _load_baseline()
     result = {
         "metric": "stromgren photon packets/s/chip (64^3, 1e6 photons/iter)",
@@ -59,11 +60,11 @@ def main():
 
 
 def _load_baseline():
-    """Measured reference throughput (36-thread-node equivalent), packets/s."""
+    """Measured same-host reference throughput (packets/s)."""
     try:
         with open("/root/repo/BASELINE.json") as handle:
             data = json.load(handle)
-        return data.get("measured", {}).get("stromgren_packets_per_s_36t")
+        return data.get("measured", {}).get("stromgren_taskbased_2t_packets_per_s")
     except Exception:
         return None
 
