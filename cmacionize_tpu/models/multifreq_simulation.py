@@ -195,6 +195,9 @@ class MultiFreqIonizationSimulation:
         )
         self._iteration_jit = None
         self.j_fields = None
+        # optional TrackerManager (models.trackers): accumulates per-cell
+        # spectra from the binned tallies each iteration
+        self.tracker_manager = None
 
     # ---------------------------------------------------------------- MC core
 
@@ -290,7 +293,7 @@ class MultiFreqIonizationSimulation:
             jnp.asarray(self.heating_weights, jnp.float32),
             ncell,
         )
-        return integrals  # [n_ion + 2, ncell]
+        return integrals, tally2d  # [n_ion + 2, ncell], [n_bins * ncell]
 
     # ------------------------------------------------------------ iterations
 
@@ -382,7 +385,9 @@ class MultiFreqIonizationSimulation:
                 jax.device_get(jnp.clip(self.xion["He_n"], 0.0, 1.0)), device
             )
             T_dev = jax.device_put(jax.device_get(self.temperature), device)
-            integrals = shoot(subkey, xH, xHe, T_dev)
+            integrals, tally2d = shoot(subkey, xH, xHe, T_dev)
+            if self.tracker_manager is not None:
+                self.tracker_manager.accumulate(tally2d)
             do_temp = cfg.do_temperature and loop >= cfg.minimum_iteration_number
             self.temperature, self.xion, self.j_fields = self._solve_state(
                 integrals, do_temp
