@@ -273,3 +273,62 @@ def emit_source_set(
     freq = None if spectrum is None else spectrum.sample(key_freq, n, dtype)
     weight = jnp.ones((n,), dtype)
     return px, py, pz, dx, dy, dz, tau, freq, weight
+
+
+def emit_isotropic_external(key, n, shape, spectrum=None, dtype=jnp.float32):
+    """Emit n packets entering the box through its walls from an isotropic
+    external radiation field.
+
+    Equivalent of IsotropicContinuousPhotonSource
+    (/root/reference/src/IsotropicContinuousPhotonSource.hpp, factory at
+    ContinuousPhotonSourceFactory.hpp:78-91): entry points are uniform over
+    the surface (area-weighted face choice) and entry directions follow the
+    cosine law (flux-weighted isotropy).
+
+    Returns the same SoA tuple as emit_point_source (positions in cell units).
+    """
+    keys = jax.random.split(key, 6)
+    nx, ny, nz = shape
+    areas = np.array([ny * nz, ny * nz, nx * nz, nx * nz, nx * ny, nx * ny], float)
+    face = jax.random.choice(
+        keys[0], 6, (n,), p=jnp.asarray(areas / areas.sum(), jnp.float32)
+    )
+    u1 = jax.random.uniform(keys[1], (n,), dtype)
+    u2 = jax.random.uniform(keys[2], (n,), dtype)
+    # cosine-law polar angle about the inward normal + uniform azimuth
+    cos_t = jnp.sqrt(jax.random.uniform(keys[3], (n,), dtype, 1e-6, 1.0))
+    sin_t = jnp.sqrt(1.0 - cos_t**2)
+    phi = jax.random.uniform(keys[4], (n,), dtype, 0.0, 2.0 * np.pi)
+    ca, sa = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+
+    # position on the chosen face (nudged just inside the wall)
+    px = jnp.where(face == 0, 1e-4, jnp.where(face == 1, nx - 1e-4, u1 * nx))
+    py = jnp.where(face == 2, 1e-4, jnp.where(face == 3, ny - 1e-4,
+                   jnp.where(face < 2, u1 * ny, u2 * ny)))
+    pz = jnp.where(face == 4, 1e-4, jnp.where(face == 5, nz - 1e-4, u2 * nz))
+    # direction: cos_t along the inward normal, sin_t in the face plane.
+    # per-face orthonormal frame (inward normal, t1, t2), selected by gather
+    normals = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        dtype,
+    )
+    tangent1 = jnp.asarray(
+        [[0, 1, 0], [0, 1, 0], [1, 0, 0], [1, 0, 0], [1, 0, 0], [1, 0, 0]],
+        dtype,
+    )
+    tangent2 = jnp.asarray(
+        [[0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 1, 0], [0, 1, 0]],
+        dtype,
+    )
+    nvec = normals[face]
+    t1 = tangent1[face]
+    t2 = tangent2[face]
+    dvec = (
+        cos_t[:, None] * nvec + ca[:, None] * t1 + sa[:, None] * t2
+    )
+    dx, dy, dz = dvec[:, 0], dvec[:, 1], dvec[:, 2]
+
+    tau = sample_tau_targets(keys[5], n, dtype)
+    freq = None if spectrum is None else spectrum.sample(keys[5], n, dtype)
+    weight = jnp.ones((n,), dtype)
+    return px, py, pz, dx, dy, dz, tau, freq, weight

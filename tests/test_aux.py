@@ -315,3 +315,37 @@ def test_discrete_source_set(tmp_path):
     )
     assert rand_set.positions.shape == (10, 3)
     assert np.all(np.abs(rand_set.positions) <= PC)
+
+
+def test_isotropic_external_source():
+    import jax
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.models import sources
+    from cmacionize_tpu.ops import traversal
+
+    shape = (16, 16, 16)
+    n = 8192
+    px, py, pz, dx, dy, dz, tau, _, w = sources.emit_isotropic_external(
+        jax.random.PRNGKey(0), n, shape
+    )
+    px, py, pz = np.asarray(px), np.asarray(py), np.asarray(pz)
+    # every packet starts on (within a nudge of) a wall
+    on_wall = (
+        (px < 1e-3) | (px > 16 - 1e-3) | (py < 1e-3) | (py > 16 - 1e-3)
+        | (pz < 1e-3) | (pz > 16 - 1e-3)
+    )
+    assert on_wall.all()
+    # all directions point inward: tracing through a transparent box, every
+    # packet travels a nonzero path and escapes
+    packets = traversal.make_packets(
+        jnp.stack([jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz)], 1),
+        jnp.stack([dx, dy, dz], 1),
+        jnp.full((n,), 1e10, jnp.float32), w, shape,
+    )
+    tally = jnp.zeros(16**3, jnp.float32)
+    tally, pk = traversal.trace_packets(
+        jnp.full((16**3,), 1e-20, jnp.float32), packets, tally, shape=shape
+    )
+    assert not bool(jnp.any(pk.active))
+    assert float(tally.sum()) / n > 1.0  # mean chord length > 1 cell
