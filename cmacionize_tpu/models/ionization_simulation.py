@@ -110,7 +110,7 @@ def h_only_iteration(
     direction = jnp.stack([dx, dy, dz], axis=1)
     packets = traversal.make_packets(position, direction, tau, weight, shape)
     tally = jnp.zeros(chi.shape, chi.dtype)
-    tally, packets = traversal.trace_packets(
+    tally, packets = traversal.trace_packets_auto(
         chi, packets, tally,
         shape=shape, periodic=periodic, max_steps=max_steps,
     )

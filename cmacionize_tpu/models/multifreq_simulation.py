@@ -240,7 +240,7 @@ class MultiFreqIonizationSimulation:
             shape,
         )
         tally2d = jnp.zeros(cfg.n_bins * ncell, jnp.float32)
-        tally2d, packets = traversal.trace_packets_spectral(
+        tally2d, packets = traversal.trace_packets_spectral_auto(
             chi_h, chi_he, packets, tally2d,
             shape=shape, n_bins=cfg.n_bins, periodic=self.geometry.periodic,
         )
@@ -281,7 +281,7 @@ class MultiFreqIonizationSimulation:
                     sig_h_tab[nbin], sig_he_tab[nbin], nbin,
                     remask, jnp.zeros_like(remask),
                 )
-                tally2d, packets = traversal.trace_packets_spectral(
+                tally2d, packets = traversal.trace_packets_spectral_auto(
                     chi_h, chi_he, packets, tally2d,
                     shape=shape, n_bins=cfg.n_bins,
                     periodic=self.geometry.periodic,

@@ -135,7 +135,7 @@ class RHDSimulation:
                 tau, weight, shape,
             )
             tally = jnp.zeros(chi.shape, chi.dtype)
-            tally, _ = traversal.trace_packets(
+            tally, _ = traversal.trace_packets_auto(
                 chi, packets, tally,
                 shape=shape, periodic=self.geometry.periodic,
             )

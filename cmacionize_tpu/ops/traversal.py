@@ -197,6 +197,193 @@ def trace_packets(
 
 
 # ---------------------------------------------------------------------------
+# Block-marched traversal (the fast path)
+# ---------------------------------------------------------------------------
+#
+# Measured on TPU v5e, XLA's gather/scatter over a flat cell array is
+# *per-index* bound (~150K indices/ms regardless of fetch width), while a row
+# gather of a 64-wide block runs ~2.8x more indices/ms and fetches 64 cells
+# per index; one-hot lane selects over a fetched [P, W] block run at VPU
+# speed (~0.65 ms per lookup step at P=2^20, W=64).  The blocked variant
+# therefore amortizes ONE row gather + ONE row scatter over K DDA steps
+# inside a (bsx, bsy, bsz) cell block — the same amortization the reference
+# gets from marching whole PhotonBuffers through one DensitySubGrid per task
+# (/root/reference/src/DensitySubGrid.hpp:1137-1274), re-derived for the
+# TPU memory system.  Estimator and termination semantics are identical to
+# trace_packets; only the accumulation structure differs.
+
+
+def _block_layout(field, shape, block):
+    """[ncell] flat field → ([n_block, W] blocked rows, grid-of-blocks dims)."""
+    nx, ny, nz = shape
+    bsx, bsy, bsz = block
+    nbx, nby, nbz = nx // bsx, ny // bsy, nz // bsz
+    rows = (
+        field.reshape(nbx, bsx, nby, bsy, nbz, bsz)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(nbx * nby * nbz, bsx * bsy * bsz)
+    )
+    return rows, (nbx, nby, nbz)
+
+
+def _block_unlayout(rows, shape, block):
+    """Inverse of _block_layout."""
+    nx, ny, nz = shape
+    bsx, bsy, bsz = block
+    nbx, nby, nbz = nx // bsx, ny // bsy, nz // bsz
+    return (
+        rows.reshape(nbx, nby, nbz, bsx, bsy, bsz)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(nx * ny * nz)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shape", "block", "periodic", "max_steps", "inner_steps"),
+)
+def trace_packets_blocked(
+    opacity: jnp.ndarray,
+    packets: PacketBatch,
+    tally: jnp.ndarray,
+    *,
+    shape: Tuple[int, int, int],
+    block: Tuple[int, int, int] = (4, 4, 4),
+    periodic: Tuple[bool, bool, bool] = (False, False, False),
+    max_steps: int = 0,
+    inner_steps: int = 4,
+):
+    """Drop-in replacement for :func:`trace_packets` (same estimator).
+
+    Marches packets phase by phase: each phase gathers the packet's current
+    cell block as one row, runs ``inner_steps`` statically-unrolled DDA steps
+    inside it (one-hot lane lookups, masked), then commits the accumulated
+    per-packet block deposits with a single row scatter-add.
+
+    Requires shape divisible by block.
+    """
+    nx, ny, nz = shape
+    bsx, bsy, bsz = block
+    if nx % bsx or ny % bsy or nz % bsz:
+        raise ValueError(f"shape {shape} not divisible by block {block}")
+    W = bsx * bsy * bsz
+    if max_steps == 0:
+        max_steps = 4 * (nx + ny + nz)
+    max_phases = max_steps  # a phase advances every marching packet >= 1 step
+    tiny = jnp.asarray(1e-30, opacity.dtype)
+
+    chi_rows, (nbx, nby, nbz) = _block_layout(opacity, shape, block)
+    tly_rows = jnp.zeros_like(chi_rows)
+    n_p = packets.size
+
+    def cond(carry):
+        phase, _, pk = carry
+        return jnp.logical_and(phase < max_phases, jnp.any(pk.active))
+
+    def body(carry):
+        phase, tlyB, pk = carry
+        ccx = jnp.clip(pk.cx, 0, nx - 1)
+        ccy = jnp.clip(pk.cy, 0, ny - 1)
+        ccz = jnp.clip(pk.cz, 0, nz - 1)
+        bx, by, bz = ccx // bsx, ccy // bsy, ccz // bsz
+        bflat = (bx * nby + by) * nbz + bz
+        blk = chi_rows[bflat]  # [P, W] row gather — once per phase
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (n_p, W), 1)
+
+        px, py, pz = pk.px, pk.py, pk.pz
+        cx, cy, cz = pk.cx, pk.cy, pk.cz
+        tau_left = pk.tau_left
+        active = pk.active
+        absorbed = pk.absorbed
+        march = pk.active
+        D = jnp.zeros((n_p, W), blk.dtype)
+
+        for _ in range(inner_steps):
+            lx = jnp.clip(cx - bx * bsx, 0, bsx - 1)
+            ly = jnp.clip(cy - by * bsy, 0, bsy - 1)
+            lz = jnp.clip(cz - bz * bsz, 0, bsz - 1)
+            lidx = (lx * bsy + ly) * bsz + lz
+            onehot = lanes == lidx[:, None]
+            chi = jnp.maximum(
+                jnp.sum(jnp.where(onehot, blk, 0.0), axis=1), tiny
+            )
+
+            tx = _wall_distance(px, cx, pk.dx)
+            ty = _wall_distance(py, cy, pk.dy)
+            tz = _wall_distance(pz, cz, pk.dz)
+            l_exit = jnp.minimum(tx, jnp.minimum(ty, tz))
+            tau_cell = chi * l_exit
+            absorbed_now = march & (tau_cell >= tau_left)
+            l_travel = jnp.where(absorbed_now, tau_left / chi, l_exit)
+
+            deposit = jnp.where(march, l_travel * pk.weight, 0.0)
+            D = D + jnp.where(onehot, deposit[:, None], 0.0)
+
+            npx = px + pk.dx * l_travel
+            npy = py + pk.dy * l_travel
+            npz = pz + pk.dz * l_travel
+            cross_x = march & ~absorbed_now & (l_exit == tx)
+            cross_y = march & ~absorbed_now & ~cross_x & (l_exit == ty)
+            cross_z = march & ~absorbed_now & ~cross_x & ~cross_y
+
+            step_x = jnp.where(pk.dx > 0, 1, -1).astype(jnp.int32)
+            step_y = jnp.where(pk.dy > 0, 1, -1).astype(jnp.int32)
+            step_z = jnp.where(pk.dz > 0, 1, -1).astype(jnp.int32)
+            ncx = cx + jnp.where(cross_x, step_x, 0)
+            ncy = cy + jnp.where(cross_y, step_y, 0)
+            ncz = cz + jnp.where(cross_z, step_z, 0)
+
+            npx = jnp.where(cross_x, jnp.where(pk.dx > 0, cx + 1, cx).astype(npx.dtype), npx)
+            npy = jnp.where(cross_y, jnp.where(pk.dy > 0, cy + 1, cy).astype(npy.dtype), npy)
+            npz = jnp.where(cross_z, jnp.where(pk.dz > 0, cz + 1, cz).astype(npz.dtype), npz)
+
+            if periodic[0]:
+                npx = jnp.where(ncx < 0, npx + nx, jnp.where(ncx >= nx, npx - nx, npx))
+                ncx = jnp.mod(ncx, nx)
+            if periodic[1]:
+                npy = jnp.where(ncy < 0, npy + ny, jnp.where(ncy >= ny, npy - ny, npy))
+                ncy = jnp.mod(ncy, ny)
+            if periodic[2]:
+                npz = jnp.where(ncz < 0, npz + nz, jnp.where(ncz >= nz, npz - nz, npz))
+                ncz = jnp.mod(ncz, nz)
+            inside = (
+                (ncx >= 0) & (ncx < nx) & (ncy >= 0) & (ncy < ny)
+                & (ncz >= 0) & (ncz < nz)
+            )
+
+            ntau = jnp.where(absorbed_now, 0.0, tau_left - tau_cell)
+
+            # freeze non-marching packets
+            px = jnp.where(march, npx, px)
+            py = jnp.where(march, npy, py)
+            pz = jnp.where(march, npz, pz)
+            cx = jnp.where(march, ncx, cx)
+            cy = jnp.where(march, ncy, cy)
+            cz = jnp.where(march, ncz, cz)
+            tau_left = jnp.where(march, ntau, tau_left)
+            absorbed = absorbed | absorbed_now
+            active = active & ~(march & (absorbed_now | ~inside))
+
+            same_block = (
+                (cx // bsx == bx) & (cy // bsy == by) & (cz // bsz == bz)
+            )
+            march = march & ~absorbed_now & inside & same_block
+
+        tlyB = tlyB.at[bflat].add(D, mode="drop")
+        pk = PacketBatch(
+            px, py, pz, cx, cy, cz, pk.dx, pk.dy, pk.dz,
+            tau_left, pk.weight, active, absorbed,
+        )
+        return phase + 1, tlyB, pk
+
+    _, tly_rows, packets = jax.lax.while_loop(
+        cond, body, (0, tly_rows, packets)
+    )
+    tally = tally + _block_unlayout(tly_rows, shape, block)
+    return tally, packets
+
+
+# ---------------------------------------------------------------------------
 # Spectral (multi-frequency) traversal
 # ---------------------------------------------------------------------------
 
@@ -355,6 +542,186 @@ def trace_packets_spectral(
     return tally2d, packets
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shape", "n_bins", "block", "periodic", "max_steps", "inner_steps"
+    ),
+)
+def trace_packets_spectral_blocked(
+    chi_h: jnp.ndarray,
+    chi_he: jnp.ndarray,
+    packets: SpectralPacketBatch,
+    tally2d: jnp.ndarray,
+    *,
+    shape: Tuple[int, int, int],
+    n_bins: int,
+    block: Tuple[int, int, int] = (4, 4, 4),
+    periodic: Tuple[bool, bool, bool] = (False, False, False),
+    max_steps: int = 0,
+    inner_steps: int = 4,
+):
+    """Block-marched drop-in for :func:`trace_packets_spectral`.
+
+    Both opacity channels are fused into one [n_block, 2W] row table so a
+    single row gather per phase fetches H and He opacity for the whole block;
+    frequency-binned deposits go to row ``fbin * n_block + bflat`` of a
+    [n_bins * n_block, W] blocked tally (one row scatter per phase).
+    """
+    nx, ny, nz = shape
+    bsx, bsy, bsz = block
+    if nx % bsx or ny % bsy or nz % bsz:
+        raise ValueError(f"shape {shape} not divisible by block {block}")
+    W = bsx * bsy * bsz
+    ncell = nx * ny * nz
+    if max_steps == 0:
+        max_steps = 4 * (nx + ny + nz)
+    max_phases = max_steps
+    tiny = jnp.asarray(1e-30, chi_h.dtype)
+
+    h_rows, (nbx, nby, nbz) = _block_layout(chi_h, shape, block)
+    he_rows, _ = _block_layout(chi_he, shape, block)
+    fused_rows = jnp.concatenate([h_rows, he_rows], axis=1)  # [nb, 2W]
+    n_block = nbx * nby * nbz
+    tly_rows = jnp.zeros((n_bins * n_block, W), chi_h.dtype)
+    n_p = packets.size
+
+    def cond(carry):
+        phase, _, pk = carry
+        return jnp.logical_and(phase < max_phases, jnp.any(pk.active))
+
+    def body(carry):
+        phase, tlyB, pk = carry
+        ccx = jnp.clip(pk.cx, 0, nx - 1)
+        ccy = jnp.clip(pk.cy, 0, ny - 1)
+        ccz = jnp.clip(pk.cz, 0, nz - 1)
+        bx, by, bz = ccx // bsx, ccy // bsy, ccz // bsz
+        bflat = (bx * nby + by) * nbz + bz
+        blk2 = fused_rows[bflat]  # [P, 2W]
+        blk_h = blk2[:, :W]
+        blk_he = blk2[:, W:]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (n_p, W), 1)
+
+        px, py, pz = pk.px, pk.py, pk.pz
+        cx, cy, cz = pk.cx, pk.cy, pk.cz
+        tau_left = pk.tau_left
+        active = pk.active
+        absorbed = pk.absorbed
+        march = pk.active
+        D = jnp.zeros((n_p, W), chi_h.dtype)
+
+        for _ in range(inner_steps):
+            lx = jnp.clip(cx - bx * bsx, 0, bsx - 1)
+            ly = jnp.clip(cy - by * bsy, 0, bsy - 1)
+            lz = jnp.clip(cz - bz * bsz, 0, bsz - 1)
+            lidx = (lx * bsy + ly) * bsz + lz
+            onehot = lanes == lidx[:, None]
+            ch = jnp.sum(jnp.where(onehot, blk_h, 0.0), axis=1)
+            che = jnp.sum(jnp.where(onehot, blk_he, 0.0), axis=1)
+            chi = jnp.maximum(ch * pk.sig_h + che * pk.sig_he, tiny)
+
+            tx = _wall_distance(px, cx, pk.dx)
+            ty = _wall_distance(py, cy, pk.dy)
+            tz = _wall_distance(pz, cz, pk.dz)
+            l_exit = jnp.minimum(tx, jnp.minimum(ty, tz))
+            tau_cell = chi * l_exit
+            absorbed_now = march & (tau_cell >= tau_left)
+            l_travel = jnp.where(absorbed_now, tau_left / chi, l_exit)
+
+            deposit = jnp.where(march, l_travel * pk.weight, 0.0)
+            D = D + jnp.where(onehot, deposit[:, None], 0.0)
+
+            npx = px + pk.dx * l_travel
+            npy = py + pk.dy * l_travel
+            npz = pz + pk.dz * l_travel
+            cross_x = march & ~absorbed_now & (l_exit == tx)
+            cross_y = march & ~absorbed_now & ~cross_x & (l_exit == ty)
+            cross_z = march & ~absorbed_now & ~cross_x & ~cross_y
+
+            step_x = jnp.where(pk.dx > 0, 1, -1).astype(jnp.int32)
+            step_y = jnp.where(pk.dy > 0, 1, -1).astype(jnp.int32)
+            step_z = jnp.where(pk.dz > 0, 1, -1).astype(jnp.int32)
+            ncx = cx + jnp.where(cross_x, step_x, 0)
+            ncy = cy + jnp.where(cross_y, step_y, 0)
+            ncz = cz + jnp.where(cross_z, step_z, 0)
+
+            npx = jnp.where(cross_x, jnp.where(pk.dx > 0, cx + 1, cx).astype(npx.dtype), npx)
+            npy = jnp.where(cross_y, jnp.where(pk.dy > 0, cy + 1, cy).astype(npy.dtype), npy)
+            npz = jnp.where(cross_z, jnp.where(pk.dz > 0, cz + 1, cz).astype(npz.dtype), npz)
+
+            if periodic[0]:
+                npx = jnp.where(ncx < 0, npx + nx, jnp.where(ncx >= nx, npx - nx, npx))
+                ncx = jnp.mod(ncx, nx)
+            if periodic[1]:
+                npy = jnp.where(ncy < 0, npy + ny, jnp.where(ncy >= ny, npy - ny, npy))
+                ncy = jnp.mod(ncy, ny)
+            if periodic[2]:
+                npz = jnp.where(ncz < 0, npz + nz, jnp.where(ncz >= nz, npz - nz, npz))
+                ncz = jnp.mod(ncz, nz)
+            inside = (
+                (ncx >= 0) & (ncx < nx) & (ncy >= 0) & (ncy < ny)
+                & (ncz >= 0) & (ncz < nz)
+            )
+
+            ntau = jnp.where(absorbed_now, 0.0, tau_left - tau_cell)
+
+            px = jnp.where(march, npx, px)
+            py = jnp.where(march, npy, py)
+            pz = jnp.where(march, npz, pz)
+            cx = jnp.where(march, ncx, cx)
+            cy = jnp.where(march, ncy, cy)
+            cz = jnp.where(march, ncz, cz)
+            tau_left = jnp.where(march, ntau, tau_left)
+            absorbed = absorbed | absorbed_now
+            active = active & ~(march & (absorbed_now | ~inside))
+
+            same_block = (
+                (cx // bsx == bx) & (cy // bsy == by) & (cz // bsz == bz)
+            )
+            march = march & ~absorbed_now & inside & same_block
+
+        tlyB = tlyB.at[pk.fbin * n_block + bflat].add(D, mode="drop")
+        pk = SpectralPacketBatch(
+            px, py, pz, cx, cy, cz, pk.dx, pk.dy, pk.dz,
+            tau_left, pk.weight, pk.sig_h, pk.sig_he, pk.fbin, active, absorbed,
+        )
+        return phase + 1, tlyB, pk
+
+    _, tly_rows, packets = jax.lax.while_loop(
+        cond, body, (0, tly_rows, packets)
+    )
+    per_bin = jax.vmap(
+        lambda rows: _block_unlayout(rows, shape, block)
+    )(tly_rows.reshape(n_bins, n_block, W))
+    tally2d = tally2d + per_bin.reshape(n_bins * ncell)
+    return tally2d, packets
+
+
+def trace_packets_spectral_auto(
+    chi_h,
+    chi_he,
+    packets: SpectralPacketBatch,
+    tally2d,
+    *,
+    shape,
+    n_bins: int,
+    periodic=(False, False, False),
+    max_steps: int = 0,
+):
+    """Dispatch to the blocked spectral fast path when the shape allows it."""
+    block = default_block(shape)
+    if block is None:
+        return trace_packets_spectral(
+            chi_h, chi_he, packets, tally2d,
+            shape=shape, n_bins=n_bins, periodic=periodic, max_steps=max_steps,
+        )
+    return trace_packets_spectral_blocked(
+        chi_h, chi_he, packets, tally2d,
+        shape=shape, n_bins=n_bins, block=block, periodic=periodic,
+        max_steps=max_steps, inner_steps=4,
+    )
+
+
 def spectral_tallies_to_ion_integrals(
     tally2d, sigma_table, heating_weights, n_cell: int
 ):
@@ -371,6 +738,83 @@ def spectral_tallies_to_ion_integrals(
     return jnp.dot(
         weights.astype(t2.dtype), t2, preferred_element_type=t2.dtype
     )  # [n_ion + 2, n_cell]
+
+
+def default_block(shape) -> "Tuple[int, int, int] | None":
+    """Pick the measured-best block for a grid shape (None → use per-step).
+
+    (4, 4, 4) with 4 unrolled inner steps won the v5e sweep (tools/
+    bench_blocked.py); any block requires the grid to be divisible by it.
+    """
+    if all(int(s) % 4 == 0 for s in shape):
+        return (4, 4, 4)
+    return None
+
+
+def trace_packets_auto(
+    opacity,
+    packets: PacketBatch,
+    tally,
+    *,
+    shape,
+    periodic=(False, False, False),
+    max_steps: int = 0,
+):
+    """Dispatch to the blocked fast path when the grid shape allows it."""
+    block = default_block(shape)
+    if block is None:
+        return trace_packets(
+            opacity, packets, tally,
+            shape=shape, periodic=periodic, max_steps=max_steps,
+        )
+    return trace_packets_blocked(
+        opacity, packets, tally,
+        shape=shape, block=block, periodic=periodic, max_steps=max_steps,
+        inner_steps=4,
+    )
+
+
+def trace_packets_blocked_adaptive(
+    opacity,
+    packets: PacketBatch,
+    tally,
+    *,
+    shape,
+    block=(4, 4, 4),
+    periodic=(False, False, False),
+    inner_steps: int = 4,
+    phase1_phases: int = 9,
+):
+    """Blocked march with one survivor compaction.
+
+    Runs ``phase1_phases`` block phases at full width, then compacts the
+    survivors into the smallest sufficient power-of-two width (one host
+    sync + one argsort) and finishes the march.  The row gather/scatter that
+    dominates the blocked phase cost is linear in batch width, and the
+    survival curve collapses after ~8 phases, so the compaction pays for
+    itself on the converged benchmark states.
+
+    Returns (tally, n_absorbed, n_escaped); per-packet final state is not
+    preserved (use trace_packets_blocked when re-emission needs it).
+    """
+    n = packets.size
+    tally, pk = trace_packets_blocked(
+        opacity, packets, tally, shape=shape, block=block, periodic=periodic,
+        max_steps=phase1_phases, inner_steps=inner_steps,
+    )
+    n_live = int(jnp.sum(pk.active))  # host sync (one round trip)
+    n_absorbed = jnp.sum(pk.absorbed, dtype=jnp.int32)
+    if n_live > 0:
+        width = next((w for w in _POW2_WIDTHS if w >= n_live and w < n), n)
+        order = jnp.argsort(~pk.active)[:width]
+        sub = PacketBatch(*(f[order] for f in pk))
+        tally, sub = trace_packets_blocked(
+            opacity, sub, tally, shape=shape, block=block, periodic=periodic,
+            inner_steps=inner_steps,
+        )
+        n_absorbed = n_absorbed + jnp.sum(sub.absorbed, dtype=jnp.int32)
+    n_escaped = n - n_absorbed
+    return tally, n_absorbed, n_escaped
 
 
 # ---------------------------------------------------------------------------

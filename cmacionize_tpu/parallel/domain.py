@@ -102,7 +102,7 @@ def make_domain_mc_iteration(
                 px, py, pz, cx_in, cy, cz, dx, dy, dz, tau, weight,
                 active, jnp.zeros_like(active),
             )
-            return traversal.trace_packets(
+            return traversal.trace_packets_auto(
                 chi, packets, tally, shape=local_shape
             )
 

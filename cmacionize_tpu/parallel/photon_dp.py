@@ -58,7 +58,7 @@ def make_dp_iteration(
         direction = jnp.stack([dx, dy, dz], axis=1)
         packets = traversal.make_packets(position, direction, tau, weight, shape)
         tally = jnp.zeros(chi.shape, chi.dtype)
-        tally, packets = traversal.trace_packets(
+        tally, packets = traversal.trace_packets_auto(
             chi, packets, tally, shape=shape, periodic=periodic
         )
         # MPI_Allreduce of the per-ion tallies → psum over the mesh axis

@@ -98,3 +98,104 @@ def test_many_packets_conserve_path():
     total = float(tally.sum())
     assert total >= 8.0 * n
     assert total <= np.sqrt(3) * 8 * n
+
+
+class TestBlockedTraversal:
+    """trace_packets_blocked must reproduce trace_packets exactly (same DDA,
+    different accumulation structure)."""
+
+    def _random_setup(self, seed, shape, n_p, periodic=(False, False, False)):
+        key = jax.random.PRNGKey(seed)
+        kk = jax.random.split(key, 5)
+        chi = (jnp.abs(jax.random.normal(kk[0], (int(np.prod(shape)),))) * 0.5
+               + 1e-3).astype(jnp.float32)
+        pos = jax.random.uniform(kk[1], (n_p, 3), jnp.float32) * jnp.asarray(
+            shape, jnp.float32
+        )
+        d = jax.random.normal(kk[2], (n_p, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        tau = -jnp.log(jax.random.uniform(kk[3], (n_p,), minval=1e-9))
+        w = jax.random.uniform(kk[4], (n_p,), jnp.float32) + 0.5
+        packets = traversal.make_packets(pos, d, tau.astype(jnp.float32), w, shape)
+        tally = jnp.zeros((int(np.prod(shape)),), jnp.float32)
+        return chi, packets, tally
+
+    @pytest.mark.parametrize("periodic", [(False,) * 3, (True,) * 3])
+    @pytest.mark.parametrize("block", [(4, 4, 4), (2, 2, 8)])
+    def test_matches_reference_kernel(self, periodic, block):
+        shape = (8, 8, 8)
+        chi, packets, tally = self._random_setup(3, shape, 512, periodic)
+        t_ref, pk_ref = traversal.trace_packets(
+            chi, packets, tally, shape=shape, periodic=periodic
+        )
+        t_blk, pk_blk = traversal.trace_packets_blocked(
+            chi, packets, tally, shape=shape, block=block, periodic=periodic
+        )
+        np.testing.assert_allclose(
+            np.asarray(t_blk), np.asarray(t_ref), rtol=2e-4, atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pk_blk.absorbed), np.asarray(pk_ref.absorbed)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pk_blk.active), np.asarray(pk_ref.active)
+        )
+        np.testing.assert_allclose(
+            np.asarray(pk_blk.px), np.asarray(pk_ref.px), rtol=1e-4, atol=1e-4
+        )
+
+    def test_single_ray_geometry(self):
+        # same geometry check as the unblocked kernel
+        shape = (8, 4, 4)
+        ncell = int(np.prod(shape))
+        chi = jnp.full((ncell,), 1e-20, jnp.float32)
+        packets = traversal.make_packets(
+            jnp.asarray([[0.5, 1.5, 1.5]], jnp.float32),
+            jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32),
+            jnp.asarray([1e10], jnp.float32),
+            jnp.ones(1, jnp.float32),
+            shape,
+        )
+        tally, pk = traversal.trace_packets_blocked(
+            chi, packets, jnp.zeros(ncell, jnp.float32),
+            shape=shape, block=(4, 4, 4),
+        )
+        t = np.asarray(tally).reshape(shape)
+        assert t[0, 1, 1] == pytest.approx(0.5, rel=1e-5)
+        for i in range(1, 8):
+            assert t[i, 1, 1] == pytest.approx(1.0, rel=1e-5)
+        assert not bool(pk.active[0])
+
+
+def test_spectral_blocked_matches_reference():
+    shape = (8, 8, 8)
+    ncell = int(np.prod(shape))
+    n_p, n_bins = 256, 4
+    key = jax.random.PRNGKey(11)
+    kk = jax.random.split(key, 8)
+    chi_h = (jnp.abs(jax.random.normal(kk[0], (ncell,))) * 0.4 + 1e-3).astype(jnp.float32)
+    chi_he = (jnp.abs(jax.random.normal(kk[1], (ncell,))) * 0.2 + 1e-4).astype(jnp.float32)
+    pos = jax.random.uniform(kk[2], (n_p, 3), jnp.float32) * 8.0
+    d = jax.random.normal(kk[3], (n_p, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tau = -jnp.log(jax.random.uniform(kk[4], (n_p,), minval=1e-9)).astype(jnp.float32)
+    w = jnp.ones((n_p,), jnp.float32)
+    sig_h = jax.random.uniform(kk[5], (n_p,), jnp.float32) + 0.5
+    sig_he = jax.random.uniform(kk[6], (n_p,), jnp.float32) * 0.5
+    fbin = jax.random.randint(kk[7], (n_p,), 0, n_bins, jnp.int32)
+    packets = traversal.make_spectral_packets(
+        pos, d, tau, w, sig_h, sig_he, fbin, shape
+    )
+    t0 = jnp.zeros((n_bins * ncell,), jnp.float32)
+    t_ref, pk_ref = traversal.trace_packets_spectral(
+        chi_h, chi_he, packets, t0, shape=shape, n_bins=n_bins
+    )
+    t_blk, pk_blk = traversal.trace_packets_spectral_blocked(
+        chi_h, chi_he, packets, t0, shape=shape, n_bins=n_bins, block=(4, 4, 4)
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_blk), np.asarray(t_ref), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pk_blk.absorbed), np.asarray(pk_ref.absorbed)
+    )
