@@ -151,3 +151,90 @@ def spiral_galaxy(
     return DensityFields(
         nd, np.full(geometry.shape, temperature), np.ones(geometry.shape)
     )
+
+
+def fractal_distribution(resolution, num_particles: int = 1000000,
+                         num_levels: int = 4, fractal_dimension: float = 2.6,
+                         seed: int = 42) -> np.ndarray:
+    """Point-count field of a hierarchical fractal point distribution.
+
+    Vectorized equivalent of FractalDensityMask::make_fractal_grid
+    (/root/reference/src/FractalDensityMask.hpp:87-152): an N-ary tree of
+    `num_levels` levels where every node jitters its parent position by a
+    uniform offset of amplitude 2/L^level, with
+    L = 10^(log10 N / D) and N = ceil(num_particles^(1/num_levels)).
+    Leaf positions are mapped periodically into [0,1)³ and histogrammed on
+    `resolution` cells. Returns an integer array [rx, ry, rz].
+    """
+    rng = np.random.default_rng(seed)
+    N = int(np.ceil(num_particles ** (1.0 / num_levels)))
+    L = 10.0 ** (np.log10(N) / fractal_dimension)
+
+    positions = np.zeros((1, 3))
+    for level in range(1, num_levels + 1):
+        # each current node spawns N children (level-1 keeps 1:N fan-out from
+        # the virtual root, matching the reference's N top-level seeds)
+        n_nodes = positions.shape[0] * N
+        offsets = (2.0 * (rng.uniform(size=(n_nodes, 3)) - 0.5)
+                   / L**level)
+        positions = np.repeat(positions, N, axis=0) + offsets
+
+    # map [-1/L, 1/L]-ish coordinates to [0, 1) with periodic wrap
+    positions = positions * 0.5 * L + 0.5
+    positions -= np.floor(positions)
+
+    idx = (positions * np.asarray(resolution)).astype(np.int64)
+    idx = np.clip(idx, 0, np.asarray(resolution) - 1)
+    flat = np.ravel_multi_index((idx[:, 0], idx[:, 1], idx[:, 2]), resolution)
+    counts = np.bincount(flat, minlength=int(np.prod(resolution)))
+    return counts.reshape(resolution)
+
+
+def apply_fractal_mask(number_density, geometry: GridGeometry,
+                       box_anchor=None, box_sides=None,
+                       num_particles: int = 1000000, num_levels: int = 4,
+                       fractal_dimension: float = 2.6,
+                       fractal_fraction: float = 1.0,
+                       resolution=None, seed: int = 42):
+    """Overlay fractal substructure on a density field, conserving mass.
+
+    Equivalent of FractalDensityMask::apply
+    (/root/reference/src/FractalDensityMask.hpp:425-478): inside the mask
+    box the density becomes (1-f)·n + f·norm·n·counts with `norm` chosen so
+    the total mass in the box is unchanged.
+    """
+    n = np.asarray(number_density, dtype=np.float64)
+    shape = n.shape
+    anchor = np.asarray(box_anchor if box_anchor is not None
+                        else geometry.anchor, dtype=float)
+    sides = np.asarray(box_sides if box_sides is not None
+                       else geometry.sides, dtype=float)
+    if resolution is None:
+        # default: one mask cell per grid cell inside the box
+        frac = sides / np.asarray(geometry.sides)
+        resolution = tuple(
+            max(1, int(round(shape[i] * frac[i]))) for i in range(3))
+
+    counts = fractal_distribution(resolution, num_particles, num_levels,
+                                  fractal_dimension, seed)
+
+    centers = np.stack(np.meshgrid(*[
+        geometry.anchor[i] + (np.arange(shape[i]) + 0.5)
+        * geometry.cell_size[i] for i in range(3)], indexing="ij"), axis=-1)
+    inside = np.all((centers >= anchor) & (centers < anchor + sides), axis=-1)
+    rel = (centers - anchor) / sides
+    idx = np.clip((rel * np.asarray(resolution)).astype(np.int64), 0,
+                  np.asarray(resolution) - 1)
+    cell_counts = counts[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    smooth_fraction = 1.0 - fractal_fraction
+    n_in = np.where(inside, n, 0.0)
+    n_total = n_in.sum()
+    n_smooth = smooth_fraction * n_total
+    n_fractal = (fractal_fraction * n_in * cell_counts).sum()
+    if n_fractal <= 0.0:
+        raise ValueError("fractal mask produced no points inside the box")
+    norm = (n_total - n_smooth) / n_fractal
+
+    masked = smooth_fraction * n + fractal_fraction * norm * n * cell_counts
+    return np.where(inside, masked, n)

@@ -332,3 +332,150 @@ def emit_isotropic_external(key, n, shape, spectrum=None, dtype=jnp.float32):
     freq = None if spectrum is None else spectrum.sample(keys[5], n, dtype)
     weight = jnp.ones((n,), dtype)
     return px, py, pz, dx, dy, dz, tau, freq, weight
+
+
+def emit_planar(key, n, shape, axis: int = 2, plane_coord: float = 0.5,
+                anchors=(0.0, 0.0), sides=(1.0, 1.0), spectrum=None,
+                dtype=jnp.float32):
+    """Emit n packets from a rectangular plane inside the box, isotropically.
+
+    Equivalent of PlanarContinuousPhotonSource
+    (/root/reference/src/PlanarContinuousPhotonSource.hpp:39-230): positions
+    uniform over the rectangle at grid coordinate `plane_coord` along `axis`
+    (all in cell units), directions isotropic.
+    """
+    keys = jax.random.split(key, 4)
+    u1 = jax.random.uniform(keys[0], (n,), dtype)
+    u2 = jax.random.uniform(keys[1], (n,), dtype)
+    coords = [None, None, None]
+    plane_axes = [i for i in range(3) if i != axis]
+    coords[axis] = jnp.full((n,), plane_coord, dtype)
+    coords[plane_axes[0]] = anchors[0] + u1 * sides[0]
+    coords[plane_axes[1]] = anchors[1] + u2 * sides[1]
+    dx, dy, dz = isotropic_directions(keys[2], n, dtype)
+    tau = sample_tau_targets(keys[3], n, dtype)
+    freq = None if spectrum is None else spectrum.sample(keys[3], n, dtype)
+    weight = jnp.ones((n,), dtype)
+    return coords[0], coords[1], coords[2], dx, dy, dz, tau, freq, weight
+
+
+def emit_extended_disc(key, n, shape, axis: int = 2, origin: float = 0.5,
+                       scale_height: float = 0.1, spectrum=None,
+                       dtype=jnp.float32):
+    """Emit n packets from a Gaussian disc layer filling the box in-plane.
+
+    Equivalent of ExtendedDiscContinuousPhotonSource
+    (/root/reference/src/ExtendedDiscContinuousPhotonSource.hpp:183-228):
+    positions uniform in the disc plane, Gaussian along `axis` with the
+    given origin/scale height (cell units), re-drawn until inside the box
+    (here: 8 masked redraw rounds, then clamped — the tail fraction beyond
+    8 redraws is < 1e-6 for any scale height that fits the box), directions
+    isotropic.
+    """
+    keys = jax.random.split(key, 5)
+    nx, ny, nz = shape
+    dims = jnp.asarray(shape, dtype)
+    u1 = jax.random.uniform(keys[0], (n,), dtype)
+    u2 = jax.random.uniform(keys[1], (n,), dtype)
+    extent = dims[axis]
+
+    def gauss(k):
+        a, b = jax.random.split(k)
+        r = jnp.sqrt(-2.0 * jnp.log(jax.random.uniform(a, (n,), dtype,
+                                                       1e-12, 1.0)))
+        return origin + scale_height * r * jnp.cos(
+            2.0 * jnp.pi * jax.random.uniform(b, (n,), dtype))
+
+    z = gauss(keys[2])
+    redraw_keys = jax.random.split(keys[3], 8)
+    for rk in redraw_keys:
+        bad = (z < 0.0) | (z >= extent)
+        z = jnp.where(bad, gauss(rk), z)
+    z = jnp.clip(z, 1e-4, extent - 1e-4)
+
+    coords = [None, None, None]
+    plane_axes = [i for i in range(3) if i != axis]
+    coords[axis] = z
+    coords[plane_axes[0]] = u1 * dims[plane_axes[0]]
+    coords[plane_axes[1]] = u2 * dims[plane_axes[1]]
+    dkey, tkey = jax.random.split(keys[4])
+    dx, dy, dz = isotropic_directions(dkey, n, dtype)
+    tau = sample_tau_targets(tkey, n, dtype)
+    freq = None if spectrum is None else spectrum.sample(tkey, n, dtype)
+    weight = jnp.ones((n,), dtype)
+    return coords[0], coords[1], coords[2], dx, dy, dz, tau, freq, weight
+
+
+def emit_distant_star(key, n, shape, star_position, spectrum=None,
+                      dtype=jnp.float32):
+    """Emit n packets entering the box from a far-away point source.
+
+    Equivalent of DistantStarContinuousPhotonSource
+    (/root/reference/src/DistantStarContinuousPhotonSource.hpp:203-226):
+    the reference draws isotropic rays from the star and rejects until one
+    enters the box; conditioned on hitting, that is uniform solid-angle
+    sampling within the cone subtending the box. We sample that cone
+    directly (uniform in solid angle over the box's bounding cone) and
+    resolve the residual cone-vs-box misses with 16 masked redraw rounds —
+    the same conditional distribution with bounded work.
+
+    Returns the usual SoA tuple; weights are 0 for the (rare) lanes that
+    never hit the box.
+    """
+    keys = jax.random.split(key, 3)
+    dims = jnp.asarray(shape, dtype)
+    star = jnp.asarray(star_position, dtype)
+
+    # bounding cone of the box as seen from the star
+    center = 0.5 * dims
+    to_box = center - star
+    dist = jnp.sqrt(jnp.sum(to_box**2))
+    axis_v = to_box / jnp.maximum(dist, 1e-12)
+    radius = 0.5 * jnp.sqrt(jnp.sum(dims**2))  # half-diagonal
+    sin_max = jnp.clip(radius / jnp.maximum(dist, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_max**2))
+    # orthonormal frame (axis_v, e1, e2)
+    helper = jnp.where(jnp.abs(axis_v[0]) < 0.9,
+                       jnp.asarray([1.0, 0.0, 0.0], dtype),
+                       jnp.asarray([0.0, 1.0, 0.0], dtype))
+    e1 = jnp.cross(axis_v, helper)
+    e1 = e1 / jnp.sqrt(jnp.sum(e1**2))
+    e2 = jnp.cross(axis_v, e1)
+
+    def draw(k):
+        ka, kb = jax.random.split(k)
+        # uniform in solid angle within the cone: cosθ ~ U[cos_max, 1]
+        cos_t = jax.random.uniform(kb, (n,), dtype, cos_max, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t**2))
+        phi = jax.random.uniform(ka, (n,), dtype, 0.0, 2.0 * jnp.pi)
+        return (cos_t[:, None] * axis_v[None, :]
+                + (sin_t * jnp.cos(phi))[:, None] * e1[None, :]
+                + (sin_t * jnp.sin(phi))[:, None] * e2[None, :])
+
+    def entry(d):
+        # slab test from the star position
+        safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        t0 = (0.0 - star[None, :]) / safe
+        t1 = (dims[None, :] - star[None, :]) / safe
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+        hits = (tmax > tmin) & (tmin > 0.0)
+        pos = star[None, :] + (tmin[:, None] + 1e-4) * d
+        return hits, pos
+
+    d = draw(keys[0])
+    hits, pos = entry(d)
+    for rk in jax.random.split(keys[1], 16):
+        nd = draw(rk)
+        nhits, npos = entry(nd)
+        take = (~hits) & nhits
+        d = jnp.where(take[:, None], nd, d)
+        pos = jnp.where(take[:, None], npos, pos)
+        hits = hits | nhits
+
+    tkey, fkey = jax.random.split(keys[2])
+    tau = sample_tau_targets(tkey, n, dtype)
+    freq = None if spectrum is None else spectrum.sample(fkey, n, dtype)
+    weight = hits.astype(dtype)
+    return (pos[:, 0], pos[:, 1], pos[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            tau, freq, weight)
