@@ -35,22 +35,44 @@ _BJUMP_H_LOW = np.array([92.6, 50.9, 33.8, 24.8, 19.53, 16.09, 13.7, 11.96])
 _BJUMP_HE_HIGH = np.array([0.189, 0.622, 1.076, 1.45, 1.74, 1.963, 2.14, 2.27])
 _BJUMP_HE_LOW = np.array([15.7, 9.23, 6.71, 5.49, 4.83, 4.41, 4.135, 3.94])
 
-# named prominent lines: (coolant, transition index) → label; wavelengths in Å
-# (transition order: 0-1,0-2,0-3,0-4,1-2,1-3,1-4,2-3,2-4,3-4)
-NAMED_LINES = {
-    ("NII", 3): "NII_6584",
-    ("NII", 1): "NII_6548",
-    ("OII", 0): "OII_3729",
-    ("OII", 1): "OII_3727",
-    ("OIII", 7): "OIII_4959",
-    ("OIII", 8): "OIII_5007",
-    ("OIII", 9): "OIII_4363",
-    ("SII", 0): "SII_6725",
-    ("NeIII", 1): "NeIII_3869",
-    ("CII", 0): "CII_158mu",
-    ("NIII", 0): "NIII_57mu",
-    ("NeII", 0): "NeII_12mu",
-    ("SIV", 0): "SIV_10mu",
+# five-level transition index order (LineCoolingData.hpp:87-113):
+# 0: 0→1, 1: 0→2, 2: 0→3, 3: 0→4, 4: 1→2, 5: 1→3, 6: 1→4, 7: 2→3,
+# 8: 2→4, 9: 3→4
+T01, T02, T03, T04, T12, T13, T14, T23, T24, T34 = range(10)
+
+#: full collisionally-excited line list: label → (coolant, (transitions…)),
+#: the complete mapping of EmissivityCalculator.cpp:246-454 /
+#: EmissivityValues.hpp:38-79 (each strength sums the listed transitions).
+METAL_LINES = {
+    "NII_5755": ("NII", (T34,)),
+    "NII_6548": ("NII", (T13,)),
+    "NII_6584": ("NII", (T23,)),
+    "NII_122mu": ("NII", (T12,)),
+    "OI_6300": ("OI", (T03,)),
+    "OI_6364": ("OI", (T13,)),
+    "OII_3727": ("OII", (T01, T02)),
+    "OII_7325": ("OII", (T14, T24, T13, T23)),
+    "OIII_4363": ("OIII", (T34,)),
+    "OIII_4959": ("OIII", (T13,)),
+    "OIII_5007": ("OIII", (T23,)),
+    "OIII_52mu": ("OIII", (T12,)),
+    "OIII_88mu": ("OIII", (T01,)),
+    "NeIII_3869": ("NeIII", (T03,)),
+    "NeIII_3968": ("NeIII", (T13,)),
+    "NeIII_15mu": ("NeIII", (T01,)),
+    "SII_4072": ("SII", (T03, T04)),
+    "SII_6725": ("SII", (T01, T02)),
+    "SIII_9405": ("SIII", (T13, T23)),
+    "SIII_6312": ("SIII", (T34,)),
+    "SIII_19mu": ("SIII", (T12,)),
+    "SIII_33mu": ("SIII", (T01,)),
+    "CII_158mu": ("CII", (T01,)),
+    "CII_2325": ("CII", (T02, T12, T03, T13, T04, T14)),
+    "CIII_1908": ("CIII", (T01, T02, T03)),
+    # two-level coolants (single transition)
+    "NIII_57mu": ("NIII", (0,)),
+    "NeII_12mu": ("NeII", (0,)),
+    "SIV_10mu": ("SIV", (0,)),
 }
 
 
@@ -113,24 +135,47 @@ def calculate_emissivities(
     out["Bjump_high"] = ne * (nhp * bj_h_high + nhep * bj_he_high)
     out["Bjump_low"] = ne * (nhp * bj_h_low + nhep * bj_he_low)
 
+    # Lyman-continuum recombination photon rate, Verner & Ferland (1996)
+    # case-B fit (EmissivityCalculator.cpp:405-410)
+    sq1 = jnp.sqrt(T / 3.148)
+    sq2 = jnp.sqrt(T / 7.036e5)
+    out["Hrec_s"] = ne * nhp * 7.982e-23 / (
+        sq1 * (1.0 + sq1) ** 0.252 * (1.0 + sq2) ** 1.748)
+
+    # tally helpers for density-weighted averages
+    # (EmissivityCalculator.cpp:387-397)
+    out["avg_T"] = ne * nhp * T
+    out["avg_T_count"] = ne * nhp
+    out["avg_nH_nHe"] = ne * ntot * (1.0 - xHe) * (AHe if AHe else 0.0)
+    out["avg_nH_nHe_count"] = ne * nhp
+
     # collisionally excited lines
     from cmacionize_tpu.ops.temperature import coolant_abundances
 
     metals = {k: v for k, v in xion.items() if k not in ("H_n", "He_n")}
     abund = coolant_abundances(xH, metals, abundances)
     five, two = line_cooling.line_strengths(T, ne, abund)
-    for (coolant, trans), label in NAMED_LINES.items():
-        if coolant in line_cooling.FIVE_NAMES:
-            ion_index = line_cooling.FIVE_NAMES.index(coolant)
-            value = five[..., ion_index, trans]
-        else:
-            ion_index = line_cooling.TWO_NAMES.index(coolant)
-            value = two[..., ion_index]
-        out[label] = ntot * value
 
-    # special combined line: [SII] 6716+6731 doublet uses transitions 0-1,0-2
-    sii = line_cooling.FIVE_NAMES.index("SII")
-    out["SII_6725"] = ntot * (five[..., sii, 0] + five[..., sii, 1])
+    def strength(coolant, transitions):
+        if coolant in line_cooling.FIVE_NAMES:
+            idx = line_cooling.FIVE_NAMES.index(coolant)
+            return sum(five[..., idx, t] for t in transitions)
+        idx = line_cooling.TWO_NAMES.index(coolant)
+        return two[..., idx]
+
+    for label, (coolant, transitions) in METAL_LINES.items():
+        out[label] = ntot * strength(coolant, transitions)
+
+    # HST WFPC2 broadband filters: sums of the lines inside each passband
+    # (EmissivityCalculator.cpp:412-454)
+    out["WFC2_F439W"] = ntot * (
+        strength("OIII", (T34,)) + strength("SIII", (T03, T04)))
+    out["WFC2_F555W"] = out["HBeta"] + ntot * (
+        strength("NI", (T01, T02)) + strength("NII", (T34,))
+        + strength("OI", (T34,)) + strength("OIII", (T03, T13, T23)))
+    out["WFC2_F675W"] = out["HAlpha"] + ntot * (
+        strength("NII", (T03, T13, T23)) + strength("OI", (T03, T13, T23))
+        + strength("SII", (T01, T02)) + strength("SIII", (T34,)))
 
     return {k: jnp.where(emitting, v, 0.0) for k, v in out.items()}
 

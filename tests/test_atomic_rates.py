@@ -176,3 +176,51 @@ def test_emissivities_structure():
         nd, T, xion, dict(ions_mod.DEFAULT_ABUNDANCES)
     )
     assert float(np.asarray(out2["HAlpha"]).max()) == 0.0
+
+
+def test_full_emission_line_list():
+    """All 42 reference emission-line labels (EmissivityValues.hpp:38-79)
+    are produced, and classic line-ratio physics holds."""
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.ops import emissivity
+
+    shape = (4,)
+    nd = jnp.full(shape, 1e8)
+    T = jnp.full(shape, 1e4)
+    xion = {"H_n": jnp.full(shape, 1e-3), "He_n": jnp.full(shape, 1e-2)}
+    from cmacionize_tpu.models import ions as ions_mod
+
+    for name in ions_mod.ION_NAMES:
+        if name not in xion:
+            xion[name] = jnp.full(shape, 0.3)
+    abund = {"He": 0.1, "C": 2.2e-4, "N": 4e-5, "O": 3.3e-4, "Ne": 5e-5,
+             "S": 9e-6}
+    out = emissivity.calculate_emissivities(nd, T, xion, abund)
+
+    expected = {
+        "HAlpha", "HBeta", "HII", "Bjump_low", "Bjump_high", "OI_6300",
+        "OI_6364", "OII_3727", "OIII_5007", "OIII_4959", "OIII_4363",
+        "OIII_52mu", "OIII_88mu", "NII_5755", "NII_6548", "NII_6584",
+        "NeIII_3869", "NeIII_3968", "SII_6725", "SII_4072", "SIII_9405",
+        "SIII_6312", "SIII_19mu", "SIII_33mu", "avg_T", "avg_T_count",
+        "avg_nH_nHe", "avg_nH_nHe_count", "NeII_12mu", "NIII_57mu",
+        "NeIII_15mu", "NII_122mu", "CII_158mu", "CII_2325", "CIII_1908",
+        "OII_7325", "SIV_10mu", "HeI_5876", "Hrec_s", "WFC2_F439W",
+        "WFC2_F555W", "WFC2_F675W",
+    }
+    missing = expected - {k.replace("Bjump_high", "Bjump_high") for k in out}
+    assert not missing, f"missing lines: {missing}"
+
+    # [OIII] 5007/4959: fixed by the A-value ratio, ≈ 2.98
+    ratio = float(out["OIII_5007"][0] / out["OIII_4959"][0])
+    assert ratio == pytest.approx(2.98, rel=0.15)
+    # [NII] 6584/6548 likewise ≈ 2.95
+    rat2 = float(out["NII_6584"][0] / out["NII_6548"][0])
+    assert rat2 == pytest.approx(2.95, rel=0.15)
+    # nebular >> auroral at 1e4 K, low density
+    assert float(out["OIII_5007"][0]) > 10 * float(out["OIII_4363"][0])
+    # filters include their constituent recombination lines
+    assert float(out["WFC2_F675W"][0]) > float(out["HAlpha"][0])
+    # average-T tally pair reproduces T
+    assert float(out["avg_T"][0] / out["avg_T_count"][0]) == pytest.approx(1e4)
