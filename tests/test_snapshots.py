@@ -1,0 +1,129 @@
+"""Snapshot readers: synthetic FLASH / Amun / ascii files round-tripped."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from cmacionize_tpu.io.snapshots import (
+    HYDROGEN_MASS,
+    read_amun_snapshot,
+    read_ascii_snapshot,
+    read_flash_snapshot,
+)
+
+
+def _write_flash(path):
+    """2-root-block domain (x), one block refined once: 9 blocks total,
+    leaf = [root1 coarse] + [8 children of root0]."""
+    nb = 4  # cells per block side
+    # domain [0,2]x[0,1]x[0,1] cm, nblockx=2
+    blocks = []
+    # root block 0 (refined, NOT a leaf): children cover [0,1]^3
+    blocks.append(dict(bb=[[0, 1], [0, 1], [0, 1]], level=1, ntype=2, rho=0.0))
+    # root block 1 (leaf, coarse)
+    blocks.append(dict(bb=[[1, 2], [0, 1], [0, 1]], level=1, ntype=1, rho=2.0))
+    # 8 children of root 0 at level 2
+    for cz in range(2):
+        for cy in range(2):
+            for cx in range(2):
+                blocks.append(dict(
+                    bb=[[cx * 0.5, (cx + 1) * 0.5],
+                        [cy * 0.5, (cy + 1) * 0.5],
+                        [cz * 0.5, (cz + 1) * 0.5]],
+                    level=2, ntype=1, rho=1.0 + cx))
+
+    n = len(blocks)
+    bbox = np.array([b["bb"] for b in blocks], dtype=float)
+    dens = np.stack([np.full((nb, nb, nb), b["rho"]) for b in blocks])
+    temp = np.stack([np.full((nb, nb, nb), 100.0 * b["level"])
+                     for b in blocks])
+    rl = np.array([b["level"] for b in blocks], dtype=np.int32)
+    nt = np.array([b["ntype"] for b in blocks], dtype=np.int32)
+
+    str_dt = h5py.string_dtype(length=80)
+    real_dt = np.dtype([("name", str_dt), ("value", np.float64)])
+    int_dt = np.dtype([("name", str_dt), ("value", np.int32)])
+    real_pars = np.array(
+        [("xmin", 0.0), ("xmax", 2.0), ("ymin", 0.0), ("ymax", 1.0),
+         ("zmin", 0.0), ("zmax", 1.0)], dtype=real_dt)
+    int_pars = np.array(
+        [("nblockx", 2), ("nblocky", 1), ("nblockz", 1)], dtype=int_dt)
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("real runtime parameters", data=real_pars)
+        f.create_dataset("integer runtime parameters", data=int_pars)
+        f.create_dataset("bounding box", data=bbox)
+        f.create_dataset("dens", data=dens)
+        f.create_dataset("temp", data=temp)
+        f.create_dataset("refine level", data=rl)
+        f.create_dataset("node type", data=nt)
+
+
+def test_read_flash_snapshot(tmp_path):
+    path = str(tmp_path / "flash.h5")
+    _write_flash(path)
+    snap = read_flash_snapshot(path)
+    # finest resolution: nblock*(4 cells)*2^(2-1) = (16, 8, 8)
+    assert snap.shape == (16, 8, 8)
+    np.testing.assert_allclose(snap.anchor, [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(snap.sides, [0.02, 0.01, 0.01])
+    # left half: children with rho = 1+cx (g/cm^3 → number density)
+    unit = 1e3 / HYDROGEN_MASS
+    np.testing.assert_allclose(snap.number_density[0, 0, 0], 1.0 * unit)
+    np.testing.assert_allclose(snap.number_density[7, 0, 0], 2.0 * unit)
+    # right half: coarse root block, upsampled ×2
+    np.testing.assert_allclose(snap.number_density[8:, :, :], 2.0 * unit)
+    # temperatures carried through (children at level 2 → 200 K)
+    np.testing.assert_allclose(snap.temperature[0, 0, 0], 200.0)
+    np.testing.assert_allclose(snap.temperature[12, 4, 4], 100.0)
+
+
+def test_read_amun_snapshot(tmp_path):
+    dims = np.array([4, 4, 4])
+    pdims = np.array([2, 1, 1])  # 2 files along x
+    rng = np.random.default_rng(0)
+    for ifile in range(2):
+        with h5py.File(tmp_path / f"amun_{ifile:05d}.h5", "w") as f:
+            attrs = f.create_group("attributes")
+            attrs.attrs["dims"] = dims
+            attrs.attrs["pdims"] = pdims
+            var = f.create_group("variables")
+            # [z, y, x] storage
+            var.create_dataset(
+                "dens", data=np.full((4, 4, 4), 1.0 + ifile, np.float32))
+            var.create_dataset(
+                "velx", data=np.full((4, 4, 4), 0.1, np.float32))
+            var.create_dataset("vely", data=np.zeros((4, 4, 4), np.float32))
+            var.create_dataset("velz", data=np.zeros((4, 4, 4), np.float32))
+            var.create_dataset(
+                "pres", data=np.full((4, 4, 4), 0.01, np.float32))
+
+    snap = read_amun_snapshot(str(tmp_path), "amun_", 5, 2,
+                              box_anchor=(0, 0, 0), box_sides=(1, 1, 1),
+                              average_number_density=1e8, sound_speed=0.1,
+                              average_temperature=100.0)
+    assert snap.shape == (8, 4, 4)
+    # mean density normalized to 1e8; file 1 brick is 2× file 0
+    assert snap.number_density.mean() == pytest.approx(1e8, rel=1e-6)
+    ratio = (snap.number_density[4:, :, :].mean()
+             / snap.number_density[:4, :, :].mean())
+    assert ratio == pytest.approx(2.0, rel=1e-6)
+    # velocity unit: velx 0.1 = one code sound speed = physical cs at 100 K
+    cs = np.sqrt(1.380649e-23 * 100.0 / 1.67262192369e-27)
+    assert snap.velocity[0, 0, 0, 0] == pytest.approx(cs, rel=1e-5)
+    # temperature: pres/dens rescaled so the mean is 100 K
+    assert snap.temperature.mean() == pytest.approx(100.0, rel=1e-5)
+
+
+def test_read_ascii_snapshot(tmp_path):
+    path = tmp_path / "snap.txt"
+    path.write_text(
+        "# x y z n T\n"
+        "0.125 0.125 0.125 100. 5000.\n"
+        "0.875 0.875 0.875 200. 8000.\n")
+    snap = read_ascii_snapshot(str(path), (4, 4, 4), (0, 0, 0), (1, 1, 1))
+    assert snap.number_density[0, 0, 0] == 100.0
+    assert snap.number_density[3, 3, 3] == 200.0
+    assert snap.number_density[1, 2, 1] == 150.0  # mean fill
+    assert snap.temperature[0, 0, 0] == 5000.0
