@@ -219,3 +219,196 @@ def read_ascii_snapshot(filename: str, shape, box_anchor, box_sides
         T[idx[:, 0], idx[:, 1], idx[:, 2]] = data[:, 4]
     return UniformSnapshot(anchor=anchor, sides=sides, number_density=nd,
                            temperature=T)
+
+
+# ---------------------------------------------------------------------------
+# SPH snapshot readers: Phantom & SPHNG Fortran-unformatted dumps
+# (/root/reference/src/PhantomSnapshotDensityFunction.cpp,
+#  SPHNGSnapshotDensityFunction.cpp; binary layout documented by the
+#  reference's own fixture generators test/write_Phantomtest.py,
+#  test/write_SPHNGtest.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SPHParticles:
+    """SPH particle arrays in SI units, ready for the gridding API."""
+
+    positions: np.ndarray  # [n, 3] m
+    masses: np.ndarray  # [n] kg
+    smoothing_lengths: np.ndarray  # [n] m
+    extra: dict  # any other tagged arrays, raw code units
+
+
+class _FortranRecords:
+    """Sequential reader of Fortran unformatted records (4-byte markers)."""
+
+    def __init__(self, filename: str):
+        with open(filename, "rb") as handle:
+            self.data = handle.read()
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.data)
+
+    def next(self) -> bytes:
+        n = int(np.frombuffer(self.data, "<i4", 1, self.pos)[0])
+        start = self.pos + 4
+        end = start + n
+        tail = int(np.frombuffer(self.data, "<i4", 1, end)[0])
+        if tail != n:
+            raise ValueError(f"corrupt Fortran record at offset {self.pos}")
+        self.pos = end + 4
+        return self.data[start:end]
+
+
+#: dtypes of the 8 Phantom/SPHNG header & data-array slots, in file order
+_SLOT_DTYPES = ("<i4", "<i1", "<i2", "<i4", "<i8", "<f8", "<f4", "<f8")
+
+
+def _read_tagged_header_block(rec: _FortranRecords, dtype: str,
+                              tagged: bool) -> dict:
+    count = int(np.frombuffer(rec.next(), "<i4")[0])
+    if count == 0:
+        return {}
+    if tagged:
+        raw = rec.next()
+        tags = [raw[16 * i:16 * (i + 1)].decode().strip()
+                for i in range(count)]
+    else:
+        tags = [f"value_{i}" for i in range(count)]
+    values = np.frombuffer(rec.next(), dtype, count)
+    out = {}
+    for tag, value in zip(tags, values):
+        out.setdefault(tag, []).append(value)
+    return out
+
+
+def read_phantom_snapshot(filename: str) -> SPHParticles:
+    """Read gas particles from a Phantom dump.
+
+    Layout per the reference's fixture generator (write_Phantomtest.py) and
+    PhantomSnapshotDensityFunction.cpp:520-620: magic records, 8 tagged
+    header blocks (ints/int8s/.../real8s), then per-block particle arrays
+    as (16-char tag, data) record pairs. Positions are f8, smoothing
+    lengths f4, all in code units: SI via udist (cm) / umass (g) from the
+    real8s header block. The particle mass is massoftype[0].
+    """
+    rec = _FortranRecords(filename)
+    rec.next()  # magic 1
+    tag_marker = rec.next()  # 'FT' (tagged) or 'FX'
+    tagged = tag_marker[:2] == b"FT"
+    if not tagged:
+        raise ValueError("untagged Phantom dumps are not supported")
+
+    header: dict = {}
+    for dtype in _SLOT_DTYPES:
+        block = _read_tagged_header_block(rec, dtype, tagged)
+        for tag, values in block.items():
+            # keep the first occurrence: the double-precision 'reals' value
+            # of e.g. massoftype wins over its real4 copy (the reference
+            # reads the typed block it expects; cf. write_Phantomtest.py)
+            header.setdefault(tag, values)
+
+    npart = int(header["npartoftype"][0])
+    mass_code = float(header["massoftype"][0])
+    udist = float(header["udist"][0]) * 1e-2  # cm → m
+    umass = float(header["umass"][0]) * 1e-3  # g → kg
+
+    n_data_blocks = int(np.frombuffer(rec.next(), "<i4")[0])
+    block_counts = []
+    for _ in range(n_data_blocks):
+        desc = rec.next()
+        n = int(np.frombuffer(desc, "<i8", 1)[0])
+        counts = np.frombuffer(desc, "<i4", 8, 8)
+        block_counts.append((n, counts))
+
+    arrays: dict = {}
+    for n, counts in block_counts:
+        if n == 0:
+            continue
+        for slot, count in enumerate(counts):
+            for _ in range(int(count)):
+                if rec.eof():
+                    break
+                tag = rec.next().decode().strip()
+                data = np.frombuffer(rec.next(), _SLOT_DTYPES[slot], n)
+                arrays[tag] = data
+        break  # gas particles live in the first block
+
+    pos = np.stack([arrays["x"], arrays["y"], arrays["z"]],
+                   axis=1).astype(np.float64) * udist
+    h = arrays["h"].astype(np.float64) * udist
+    masses = np.full(npart, mass_code * umass)
+    extra = {k: v for k, v in arrays.items() if k not in ("x", "y", "z", "h")}
+    return SPHParticles(pos, masses, h, extra)
+
+
+#: SPHNG particle array tags we extract, with per-particle byte width
+_SPHNG_TAGS = {
+    "x": "<f8", "y": "<f8", "z": "<f8", "m": "<f8", "h": "<f8",
+    "vx": "<f8", "vy": "<f8", "vz": "<f8", "u": "<f8", "rho": "<f8",
+    "iphase": "<i1", "iunique": "<i4",
+}
+
+
+def read_sphng_snapshot(filename: str) -> SPHParticles:
+    """Read gas particles from a tagged SPHNG dump.
+
+    Layout per write_SPHNGtest.py / SPHNGSnapshotDensityFunction.cpp: a
+    44-int tagged header (nparttot, nblocks), real header, units block
+    (udist, umass, utime, umagfd in cgs), then tag/data record pairs for
+    the particle arrays. Sink particles (iphase < 0) are dropped, matching
+    the reference (SPHNG_data.txt holds 99 of the 100 fixture particles).
+    Untagged ('FX') dumps are not supported.
+    """
+    rec = _FortranRecords(filename)
+    rec.next()
+    tag_marker = rec.next()
+    if tag_marker[:2] != b"FT":
+        raise ValueError("untagged SPHNG dumps are not supported")
+
+    ints = _read_tagged_header_block(rec, "<i4", True)
+    npart = int(ints["nparttot"][0])
+
+    # scan the remaining records: a 16-byte record whose text is a known
+    # tag announces the next record as that array (reference semantics:
+    # unknown tags/records are skipped)
+    arrays: dict = {}
+    units = None
+    pending_tag = None
+    while not rec.eof() and len(arrays) < len(_SPHNG_TAGS):
+        try:
+            raw = rec.next()
+        except (ValueError, IndexError):
+            break
+        if pending_tag is not None:
+            dtype = _SPHNG_TAGS[pending_tag]
+            width = np.dtype(dtype).itemsize
+            if len(raw) == npart * width:
+                arrays[pending_tag] = np.frombuffer(raw, dtype, npart)
+            pending_tag = None
+            continue
+        if len(raw) == 16:
+            tag = raw.decode(errors="replace").strip()
+            if tag in _SPHNG_TAGS and tag not in arrays:
+                pending_tag = tag
+        elif len(raw) == 32 and units is None:
+            # units block: 4 doubles (udist, umass, utime, umagfd)
+            units = np.frombuffer(raw, "<f8", 4)
+
+    if units is None:
+        units = np.ones(4)
+    udist = float(units[0]) * 1e-2
+    umass = float(units[1]) * 1e-3
+
+    # gas particles have iphase == 0 (SPHNGSnapshotDensityFunction.cpp:384)
+    gas = (arrays["iphase"] == 0 if "iphase" in arrays
+           else np.ones(npart, bool))
+    pos = np.stack([arrays["x"], arrays["y"], arrays["z"]],
+                   axis=1)[gas] * udist
+    masses = arrays["m"][gas] * umass
+    h = arrays["h"][gas] * udist
+    extra = {k: np.asarray(v)[gas] for k, v in arrays.items()
+             if k not in ("x", "y", "z", "m", "h")}
+    return SPHParticles(pos, masses, h, extra)

@@ -127,3 +127,73 @@ def test_read_ascii_snapshot(tmp_path):
     assert snap.number_density[3, 3, 3] == 200.0
     assert snap.number_density[1, 2, 1] == 150.0  # mean fill
     assert snap.temperature[0, 0, 0] == 5000.0
+
+
+REF_TEST = "/root/reference/test"
+
+
+def test_read_phantom_reference_fixture():
+    """Validates against the reference's own checked-in fixture
+    (test/Phantomtest.dat vs Phantom_data.txt, cf.
+    testPhantomSnapshotDensityFunction.cpp:40-75)."""
+    import os
+
+    from cmacionize_tpu.io.snapshots import read_phantom_snapshot
+
+    if not os.path.exists(f"{REF_TEST}/Phantomtest.dat"):
+        pytest.skip("reference fixtures not mounted")
+    parts = read_phantom_snapshot(f"{REF_TEST}/Phantomtest.dat")
+    expected = np.loadtxt(f"{REF_TEST}/Phantom_data.txt")
+    assert parts.positions.shape == (100, 3)
+    # file units are cgs (udist = 1 cm); expected columns are code units
+    np.testing.assert_allclose(parts.positions, expected[:, :3] * 1e-2,
+                               rtol=1e-14)
+    np.testing.assert_allclose(parts.smoothing_lengths,
+                               expected[:, 3] * 1e-2, rtol=1e-6)
+    # massoftype 0.01 × umass 1 g → 1e-5 kg
+    np.testing.assert_allclose(parts.masses, 1e-5, rtol=1e-14)
+
+
+def test_read_sphng_reference_fixture():
+    """testSPHNGSnapshotDensityFunction.cpp:120-135 equivalent: the tagged
+    fixture, sink particle excluded."""
+    import os
+
+    from cmacionize_tpu.io.snapshots import read_sphng_snapshot
+
+    if not os.path.exists(f"{REF_TEST}/SPHNGtest.dat"):
+        pytest.skip("reference fixtures not mounted")
+    parts = read_sphng_snapshot(f"{REF_TEST}/SPHNGtest.dat")
+    expected = np.loadtxt(f"{REF_TEST}/SPHNG_data.txt")
+    assert parts.positions.shape == (99, 3)  # 100 minus one sink
+    np.testing.assert_allclose(parts.positions, expected[:, :3] * 1e-2,
+                               rtol=1e-14)
+    np.testing.assert_allclose(parts.masses, expected[:, 3] * 1e-3,
+                               rtol=1e-14)
+    np.testing.assert_allclose(parts.smoothing_lengths,
+                               expected[:, 4] * 1e-2, rtol=1e-14)
+
+
+def test_read_flash_reference_fixture():
+    """The reference's FLASHtest.hdf5 (testFLASHSnapshotDensityFunction)."""
+    import os
+
+    if not os.path.exists(f"{REF_TEST}/FLASHtest.hdf5"):
+        pytest.skip("reference fixtures not mounted")
+    snap = read_flash_snapshot(f"{REF_TEST}/FLASHtest.hdf5")
+    assert all(s > 0 for s in snap.shape)
+    assert np.all(snap.number_density > 0)
+    assert snap.temperature is not None
+    assert np.all(snap.temperature > 0)
+
+
+def test_read_amun_reference_fixture():
+    import os
+
+    if not os.path.exists(f"{REF_TEST}/Amun_test_00.h5"):
+        pytest.skip("reference fixtures not mounted")
+    snap = read_amun_snapshot(REF_TEST, "Amun_test_", 2, 4,
+                              box_anchor=(0, 0, 0), box_sides=(1, 1, 1),
+                              average_number_density=1e8)
+    assert np.all(snap.number_density > 0)
+    assert snap.number_density.mean() == pytest.approx(1e8, rel=1e-6)
