@@ -238,3 +238,126 @@ def apply_fractal_mask(number_density, geometry: GridGeometry,
 
     masked = smooth_fraction * n + fractal_fraction * norm * n * cell_counts
     return np.where(inside, masked, n)
+
+
+def density_function_from_params(params, geometry: GridGeometry
+                                 ) -> DensityFields:
+    """Factory: build the initial density/temperature fields from a
+    parameter file, by `DensityFunction:type` string.
+
+    Equivalent of DensityFunctionFactory::generate
+    (/root/reference/src/DensityFunctionFactory.hpp:138-174). Supported
+    types: Homogeneous, BlockSyntax, AsciiFile, FLASHSnapshot,
+    AmunSnapshot, PhantomSnapshot, SPHNGSnapshot, GadgetSnapshot /
+    CMacIonizeSnapshot (via io.gadget). A `DensityMask:type: Fractal`
+    section overlays fractal substructure afterwards
+    (DensityMaskFactory.hpp:64).
+    """
+    import numpy as np
+
+    dftype = params.get_string("DensityFunction:type", "Homogeneous")
+    temperature = params.get_physical_value(
+        "DensityFunction:temperature", "temperature", "8000. K")
+
+    if dftype == "Homogeneous":
+        nd = np.full(geometry.shape, params.get_physical_value(
+            "DensityFunction:density", "number density", "100. cm^-3"))
+        T = np.full(geometry.shape, temperature)
+    elif dftype == "BlockSyntax":
+        blocks = blocks_from_yaml(
+            params.get_string("DensityFunction:filename"))
+        fields = block_syntax(geometry, blocks)
+        nd, T = np.asarray(fields.number_density), np.asarray(
+            fields.temperature)
+    elif dftype == "AsciiFile":
+        from cmacionize_tpu.io.snapshots import read_ascii_snapshot
+
+        snap = read_ascii_snapshot(
+            params.get_string("DensityFunction:filename"), geometry.shape,
+            geometry.anchor, geometry.sides)
+        nd = snap.number_density
+        T = snap.temperature if snap.temperature is not None else np.full(
+            geometry.shape, temperature)
+    elif dftype == "FLASHSnapshot":
+        from cmacionize_tpu.io.snapshots import read_flash_snapshot
+
+        snap = read_flash_snapshot(
+            params.get_string("DensityFunction:filename"),
+            fallback_temperature=temperature)
+        nd = _resample_uniform(snap.number_density, geometry.shape)
+        T = _resample_uniform(snap.temperature, geometry.shape)
+    elif dftype == "AmunSnapshot":
+        from cmacionize_tpu.io.snapshots import read_amun_snapshot
+
+        snap = read_amun_snapshot(
+            params.get_string("DensityFunction:folder", "."),
+            params.get_string("DensityFunction:prefix"),
+            params.get_int("DensityFunction:padding", 5),
+            params.get_int("DensityFunction:number of files", 1),
+            geometry.anchor, geometry.sides,
+            average_number_density=params.get_physical_value(
+                "DensityFunction:average number density", "number density",
+                "100. cm^-3"),
+            sound_speed=params.get_number(
+                "DensityFunction:AMUN soundspeed", 0.1),
+            average_temperature=params.get_physical_value(
+                "DensityFunction:average temperature", "temperature",
+                "100. K"))
+        nd = _resample_uniform(snap.number_density, geometry.shape)
+        T = _resample_uniform(snap.temperature, geometry.shape)
+    elif dftype in ("PhantomSnapshot", "SPHNGSnapshot"):
+        from cmacionize_tpu.api import _deposit_m_over_v
+        from cmacionize_tpu.io.snapshots import (
+            read_phantom_snapshot,
+            read_sphng_snapshot,
+        )
+
+        reader = (read_phantom_snapshot if dftype == "PhantomSnapshot"
+                  else read_sphng_snapshot)
+        parts = reader(params.get_string("DensityFunction:filename"))
+        nd = np.asarray(_deposit_m_over_v(
+            geometry, parts.positions, parts.masses)) / 1.6737236e-27
+        T = np.full(geometry.shape, temperature)
+    elif dftype in ("GadgetSnapshot", "CMacIonizeSnapshot"):
+        from cmacionize_tpu.io.gadget import grid_from_snapshot
+
+        filename = params.get_string("DensityFunction:filename")
+        nd = grid_from_snapshot(filename, geometry, "NumberDensity")
+        try:
+            T = grid_from_snapshot(filename, geometry, "Temperature",
+                                   fallback=None)
+        except KeyError:
+            T = np.full(geometry.shape, temperature)
+    else:
+        raise ValueError(f"unknown DensityFunction type '{dftype}'")
+
+    mask_type = params.get_string("DensityMask:type", "None")
+    if mask_type == "Fractal":
+        nd = apply_fractal_mask(
+            nd, geometry,
+            num_particles=params.get_int(
+                "DensityMask:number of particles", 1000000),
+            num_levels=params.get_int("DensityMask:number of levels", 4),
+            fractal_dimension=params.get_number(
+                "DensityMask:fractal dimension", 2.6),
+            fractal_fraction=params.get_number(
+                "DensityMask:fractal fraction", 1.0),
+            seed=params.get_int("DensityMask:random seed", 42))
+    elif mask_type != "None":
+        raise ValueError(f"unknown DensityMask type '{mask_type}'")
+
+    xh0 = params.get_number("DensityFunction:initial neutral fraction", 1e-6)
+    return DensityFields(number_density=np.asarray(nd),
+                         temperature=np.asarray(T),
+                         neutral_fraction=np.full(geometry.shape, xh0))
+
+
+def _resample_uniform(field, shape):
+    """Nearest-neighbour resample of a uniform grid onto `shape`."""
+    import numpy as np
+
+    field = np.asarray(field)
+    idx = [np.minimum((np.arange(shape[d]) + 0.5) / shape[d]
+                      * field.shape[d], field.shape[d] - 1).astype(int)
+           for d in range(3)]
+    return field[np.ix_(*idx)]

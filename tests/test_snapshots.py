@@ -197,3 +197,62 @@ def test_read_amun_reference_fixture():
                               average_number_density=1e8)
     assert np.all(snap.number_density > 0)
     assert snap.number_density.mean() == pytest.approx(1e8, rel=1e-6)
+
+
+def test_density_function_factory(tmp_path):
+    """DensityFunctionFactory-equivalent dispatch by type string."""
+    from cmacionize_tpu.models.density_functions import (
+        density_function_from_params,
+    )
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.utils.params import ParameterFile
+
+    geom = GridGeometry(anchor=(0.0, 0.0, 0.0), sides=(1.0, 1.0, 1.0),
+                        shape=(8, 8, 8), periodic=(False,) * 3)
+
+    p = tmp_path / "homog.yml"
+    p.write_text(
+        "DensityFunction:\n  type: Homogeneous\n  density: 50. cm^-3\n"
+        "  temperature: 6000. K\n")
+    fields = density_function_from_params(ParameterFile(str(p)), geom)
+    assert fields.number_density.shape == (8, 8, 8)
+    np.testing.assert_allclose(fields.number_density, 50e6)
+    np.testing.assert_allclose(fields.temperature, 6000.0)
+
+    # fractal mask overlay conserves mass
+    p2 = tmp_path / "frac.yml"
+    p2.write_text(
+        "DensityFunction:\n  type: Homogeneous\n  density: 50. cm^-3\n"
+        "DensityMask:\n  type: Fractal\n  number of particles: 10000\n"
+        "  number of levels: 3\n")
+    fields2 = density_function_from_params(ParameterFile(str(p2)), geom)
+    assert fields2.number_density.sum() == pytest.approx(
+        fields.number_density.sum(), rel=1e-9)
+    assert fields2.number_density.std() > 0
+
+    # FLASH type goes through the resampler
+    flash = tmp_path / "flash.h5"
+    _write_flash(str(flash))
+    p3 = tmp_path / "flash.yml"
+    p3.write_text(
+        f"DensityFunction:\n  type: FLASHSnapshot\n  filename: {flash}\n")
+    fields3 = density_function_from_params(ParameterFile(str(p3)), geom)
+    assert fields3.number_density.shape == (8, 8, 8)
+    assert np.all(fields3.number_density > 0)
+
+    # Phantom type deposits SPH particles
+    import os
+    if os.path.exists(f"{REF_TEST}/Phantomtest.dat"):
+        geom_cm = GridGeometry(anchor=(0.0, 0.0, 0.0),
+                               sides=(0.01, 0.01, 0.01), shape=(4, 4, 4),
+                               periodic=(False,) * 3)
+        p4 = tmp_path / "phantom.yml"
+        p4.write_text(
+            "DensityFunction:\n  type: PhantomSnapshot\n"
+            f"  filename: {REF_TEST}/Phantomtest.dat\n")
+        fields4 = density_function_from_params(ParameterFile(str(p4)),
+                                               geom_cm)
+        # total mass conserved: 100 × 1e-5 kg over (0.01 m)^3
+        total_mass = (fields4.number_density.sum() * geom_cm.cell_volume
+                      * 1.6737236e-27)
+        assert total_mass == pytest.approx(100 * 1e-5, rel=1e-5)
