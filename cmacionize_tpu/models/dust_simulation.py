@@ -59,6 +59,11 @@ class DustConfig:
     ccd_pixels: Tuple[int, int] = (128, 128)
     # observer along +z by default (face-on image)
     observer_direction: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    # polarized transport (full Stokes; DustScattering.cpp White-1979 matrix)
+    polarization: bool = False
+    pl: float = 0.43  # peak linear polarization (V band)
+    pc: float = 0.0
+    sc: float = 0.0
 
 
 def henyey_greenstein_cos(key, g, n):
@@ -247,3 +252,95 @@ class DustSimulation:
             packets = packets._replace(active=scattered)
 
         return np.asarray(ccd).reshape(cfg.ccd_pixels)
+
+    def run_polarized(self):
+        """Full-Stokes dust RT: returns dict of CCD planes I, Q, U, V.
+
+        Equivalent of the reference's polarized dust mode
+        (DustScattering::scatter/scatter_towards + CCDImage Stokes layers);
+        see ops/polarization.py for the frame conventions.
+        """
+        from cmacionize_tpu.models import sources as src_mod
+        from cmacionize_tpu.ops import polarization as pol
+
+        cfg = self.config
+        shape = cfg.geometry.shape
+        n = cfg.n_photons
+        band = pol.ScatteringBand(hgg=cfg.hgg, pl=cfg.pl, albedo=cfg.albedo,
+                                  kappa=0.0, sc=cfg.sc, pc=cfg.pc)
+        npix = cfg.ccd_pixels[0] * cfg.ccd_pixels[1]
+        ccd = {k: jnp.zeros(npix, jnp.float32) for k in "IQUV"}
+        obs = np.asarray(cfg.observer_direction, dtype=np.float32)
+        obs = obs / np.linalg.norm(obs)
+        # fixed CCD x-axis ⊥ observer
+        helper = np.array([1.0, 0.0, 0.0], np.float32)
+        if abs(np.dot(helper, obs)) > 0.9:
+            helper = np.array([0.0, 1.0, 0.0], np.float32)
+        ccd_x = helper - np.dot(helper, obs) * obs
+        ccd_x /= np.linalg.norm(ccd_x)
+
+        self.key, key_emit, key_dir, key_tau = jax.random.split(self.key, 4)
+        gpos, valid = self._emit(key_emit, n)
+        dx_, dy_, dz_ = src_mod.isotropic_directions(key_dir, n)
+        weight = jnp.where(valid, 1.0 / n, 0.0).astype(jnp.float32)
+
+        # unpolarized direct emission peel-off
+        tau_obs = self._peel_off_tau(gpos)
+        pix = self._ccd_pixel(gpos)
+        ccd["I"] = ccd["I"].at[pix].add(
+            weight / (4.0 * np.pi) * jnp.exp(-tau_obs))
+
+        # Stokes state: unpolarized at birth
+        I = weight
+        Q = jnp.zeros(n, jnp.float32)
+        U = jnp.zeros(n, jnp.float32)
+        V = jnp.zeros(n, jnp.float32)
+        nrx, nry, nrz = pol.initial_reference_normal(dx_, dy_, dz_)
+        nref = jnp.stack([nrx, nry, nrz], 1)
+
+        tau = src_mod.sample_tau_targets(key_tau, n)
+        packets = traversal.make_packets(
+            gpos, jnp.stack([dx_, dy_, dz_], 1), tau, weight, shape)
+        packets = packets._replace(active=valid)
+
+        for gen in range(cfg.n_scatterings):
+            tally = jnp.zeros(int(np.prod(shape)), jnp.float32)
+            _, pk = traversal.trace_packets(
+                self.chi, packets, tally, shape=shape,
+                periodic=cfg.geometry.periodic)
+            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+            u_rand = jax.random.uniform(k1, (n,), jnp.float32)
+            scattered = pk.absorbed & (u_rand < cfg.albedo)
+            if int(jnp.sum(scattered)) == 0:
+                break
+            d = jnp.stack([pk.dx, pk.dy, pk.dz], 1)
+            event_pos = jnp.stack([pk.px, pk.py, pk.pz], 1)
+
+            # peel-off with the full scattering matrix toward the observer
+            I_o, Q_o, U_o, V_o = pol.peel_off_polarized(
+                d, nref, I, Q, U, V, obs, ccd_x, band)
+            tau_obs = self._peel_off_tau(event_pos)
+            pix = self._ccd_pixel(event_pos)
+            att = jnp.where(scattered, cfg.albedo * jnp.exp(-tau_obs), 0.0)
+            ccd["I"] = ccd["I"].at[pix].add(I_o * att)
+            ccd["Q"] = ccd["Q"].at[pix].add(Q_o * att)
+            ccd["U"] = ccd["U"].at[pix].add(U_o * att)
+            ccd["V"] = ccd["V"].at[pix].add(V_o * att)
+
+            # scatter the packet itself
+            cos_scat = henyey_greenstein_cos(k2, cfg.hgg, n)
+            d_new, nref_new, I, Q, U, V = pol.scatter_polarized(
+                k3, d, nref, I, Q, U, V, cos_scat, band)
+            nref = jnp.where(scattered[:, None], nref_new, nref)
+            self.key, k4 = jax.random.split(self.key)
+            new_tau = src_mod.sample_tau_targets(k4, n)
+            I = I * cfg.albedo
+            Q = Q * cfg.albedo
+            U = U * cfg.albedo
+            V = V * cfg.albedo
+            packets = traversal.make_packets(
+                event_pos, d_new, new_tau, pk.weight * cfg.albedo, shape)
+            packets = packets._replace(active=scattered)
+
+        return {k: np.asarray(v).reshape(cfg.ccd_pixels)
+                for k, v in ccd.items()}
