@@ -180,7 +180,11 @@ def read_amun_snapshot(folder: str, prefix: str, padding: int,
     physical_cs = np.sqrt(BOLTZMANN * average_temperature / PROTON_MASS)
     velocity_unit = physical_cs / sound_speed
     density_unit = average_number_density / average_density
-    temperature_unit = average_temperature / (tfield.mean() or 1.0)
+    # pres/dens is T in code units where the code sound speed corresponds to
+    # the desired average temperature:
+    # temperature_conversion_factor = T_avg / cs_code^2
+    # (AmunSnapshotDensityFunction.cpp:220-221)
+    temperature_unit = average_temperature / (sound_speed * sound_speed)
 
     # optional periodic shift (in box fractions)
     shift = np.asarray(shift, dtype=float)

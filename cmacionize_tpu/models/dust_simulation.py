@@ -15,10 +15,9 @@ optical-depth integration all run as whole-batch array passes — the peel-off
 packets accumulate optical depth without tallies,
 cf. `DensitySubGrid::propagate`, /root/reference/src/DensitySubGrid.hpp:1284).
 
-Delta vs the reference: the reference tracks full Stokes-vector
-polarization through each scattering (DustScattering.cpp:10-160); this
-implementation transports intensity only (polarization is a planned
-extension) — total-intensity images are statistically equivalent.
+`run()` transports intensity only; `run_polarized()` carries the full
+Stokes vector through every scattering (White 1979 matrix, see
+ops/polarization.py) like the reference's DustScattering.cpp.
 """
 
 from __future__ import annotations
@@ -219,10 +218,12 @@ class DustSimulation:
                 self.chi, packets, tally, shape=shape,
                 periodic=cfg.geometry.periodic,
             )
-            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
-            # interaction: scatter with probability = albedo
-            u = jax.random.uniform(k1, (n,), jnp.float32)
-            scattered = pk.absorbed & (u < cfg.albedo)
+            self.key, k2, k3 = jax.random.split(self.key, 3)
+            # every interaction is a forced scattering; absorption is handled
+            # deterministically by the accumulated albedo^k weight factor,
+            # matching the reference (DustPhotonShootJob.hpp:133-160
+            # `albedo *= band_albedo` once per scattering order)
+            scattered = pk.absorbed
             n_scat = int(jnp.sum(scattered))
             self.log.info(f"scattering generation {gen + 1}: {n_scat} events")
             if n_scat == 0:
@@ -308,9 +309,9 @@ class DustSimulation:
             _, pk = traversal.trace_packets(
                 self.chi, packets, tally, shape=shape,
                 periodic=cfg.geometry.periodic)
-            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
-            u_rand = jax.random.uniform(k1, (n,), jnp.float32)
-            scattered = pk.absorbed & (u_rand < cfg.albedo)
+            self.key, k2, k3 = jax.random.split(self.key, 3)
+            # forced scattering + accumulated albedo^k weights, as in run()
+            scattered = pk.absorbed
             if int(jnp.sum(scattered)) == 0:
                 break
             d = jnp.stack([pk.dx, pk.dy, pk.dz], 1)
@@ -338,8 +339,10 @@ class DustSimulation:
             Q = Q * cfg.albedo
             U = U * cfg.albedo
             V = V * cfg.albedo
+            # packet weight tracks I (the P1 importance correction in
+            # scatter_polarized changes the intensity of polarized packets)
             packets = traversal.make_packets(
-                event_pos, d_new, new_tau, pk.weight * cfg.albedo, shape)
+                event_pos, d_new, new_tau, I, shape)
             packets = packets._replace(active=scattered)
 
         return {k: np.asarray(v).reshape(cfg.ccd_pixels)

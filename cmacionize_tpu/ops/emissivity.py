@@ -146,8 +146,11 @@ def calculate_emissivities(
     # (EmissivityCalculator.cpp:387-397)
     out["avg_T"] = ne * nhp * T
     out["avg_T_count"] = ne * nhp
-    out["avg_nH_nHe"] = ne * ntot * (1.0 - xHe) * (AHe if AHe else 0.0)
-    out["avg_nH_nHe_count"] = ne * nhp
+    # reference stores ne·(1 − x(He_n)) and ne·(1 − x(H_n)) — electron
+    # density times ionized *fraction*, no extra density/abundance weights
+    # (EmissivityCalculator.cpp:389-397)
+    out["avg_nH_nHe"] = ne * (1.0 - xHe)
+    out["avg_nH_nHe_count"] = ne * (1.0 - xH)
 
     # collisionally excited lines
     from cmacionize_tpu.ops.temperature import coolant_abundances

@@ -26,9 +26,10 @@ DustScattering.hpp:96-160.
 
 Conventions: Stokes vectors are carried as absolute quantities
 (I = packet weight); the direction is sampled from the *unpolarized* HG
-phase function and the matrix is renormalized to preserve I, exactly like
-the reference (DustScattering.cpp:105-110 "the common factor P1 is
-divided out").
+phase function (∝ P1), so the matrix is divided by P1 as the importance
+correction — the packet intensity changes when it is polarized, exactly
+like the reference (DustScattering.cpp:148 "the common factor P1 is
+divided out", :286-295).
 """
 
 from __future__ import annotations
@@ -107,8 +108,11 @@ def scatter_polarized(key, d, nref, I, Q, U, V, cos_theta,
 
     d, nref: [n,3] unit direction and reference normal; (I,Q,U,V): [n]
     Stokes; cos_theta: [n] HG-sampled scattering-angle cosines.
-    Returns (d', nref', I', Q', U', V') with I' == I (weight-preserving
-    renormalization, DustScattering.cpp:105-110).
+    Returns (d', nref', I', Q', U', V'). The direction was sampled from the
+    *unpolarized* HG phase function (∝ P1), so dividing the matrix by P1 is
+    the importance correction: I' = (P1·I + P2·Qr)/P1 — the packet weight
+    changes for polarized packets, exactly like the reference
+    (DustScattering.cpp:148,286-295).
     """
     n = d.shape[0]
     psi = jax.random.uniform(key, (n,), I.dtype, 0.0, 2.0 * np.pi)
@@ -137,17 +141,16 @@ def scatter_polarized(key, d, nref, I, Q, U, V, cos_theta,
     norm = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz) + 1e-20
 
     P1, P2, P3, P4 = scattering_matrix(cos_theta, band)
-    I_new = P1 * I + P2 * Qr
-    Q_new = P2 * I + P1 * Qr
-    U_new = P3 * Ur + P4 * V
-    V_new = -P4 * Ur + P3 * V
-    # weight-preserving renormalization
-    scale = I / jnp.maximum(I_new, 1e-30)
+    a_inv = 1.0 / jnp.maximum(P1, 1e-30)
+    I_new = (P1 * I + P2 * Qr) * a_inv
+    Q_new = (P2 * I + P1 * Qr) * a_inv
+    U_new = (P3 * Ur + P4 * V) * a_inv
+    V_new = (-P4 * Ur + P3 * V) * a_inv
 
     d_out = jnp.stack([ndx / norm, ndy / norm, ndz / norm], axis=1)
     n_out = jnp.stack([olx, oly, olz], axis=1)
     n_out = n_out / (jnp.linalg.norm(n_out, axis=1, keepdims=True) + 1e-20)
-    return (d_out, n_out, I, Q_new * scale, U_new * scale, V_new * scale)
+    return (d_out, n_out, I_new, Q_new, U_new, V_new)
 
 
 def peel_off_polarized(d, nref, I, Q, U, V, observer, ccd_x,

@@ -112,8 +112,11 @@ def test_read_amun_snapshot(tmp_path):
     # velocity unit: velx 0.1 = one code sound speed = physical cs at 100 K
     cs = np.sqrt(1.380649e-23 * 100.0 / 1.67262192369e-27)
     assert snap.velocity[0, 0, 0, 0] == pytest.approx(cs, rel=1e-5)
-    # temperature: pres/dens rescaled so the mean is 100 K
-    assert snap.temperature.mean() == pytest.approx(100.0, rel=1e-5)
+    # temperature: T_code = pres/dens scaled by T_avg/cs_code^2
+    # (AmunSnapshotDensityFunction.cpp:220-221): brick 0 has p/rho = 0.01
+    # -> 100 K, brick 1 has p/rho = 0.005 -> 50 K
+    assert snap.temperature[:4].mean() == pytest.approx(100.0, rel=1e-5)
+    assert snap.temperature[4:].mean() == pytest.approx(50.0, rel=1e-5)
 
 
 def test_read_ascii_snapshot(tmp_path):
