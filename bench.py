@@ -14,14 +14,15 @@ see BASELINE.md "measured" section for the methodology.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+import jax.numpy as jnp
 
 
-def main():
-    sys.path.insert(0, "/root/repo")
+def _bench_stromgren():
     from cmacionize_tpu.models.ionization_simulation import (
         HOnlyConfig,
         HOnlyIonizationSimulation,
@@ -34,15 +35,46 @@ def main():
 
     # warmup: compile + converge the ionization structure
     sim.run(6)
-    jax.block_until_ready(sim.neutral_fraction)
+    float(jnp.sum(sim.neutral_fraction))  # value readback = honest sync
 
     n_timed = 10
     t0 = time.time()
     sim.run(n_timed)
-    jax.block_until_ready(sim.neutral_fraction)
+    float(jnp.sum(sim.neutral_fraction))
     elapsed = time.time() - t0
+    return n_timed * config.n_photons / elapsed
 
-    packets_per_s = n_timed * config.n_photons / elapsed
+
+def _bench_starbench_hydro():
+    """starbench 32^3 segment: hydro cell-updates/s (radiation included)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_starbench", "/root/repo/benchmarks/run_starbench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sim, config = mod.build_simulation(small=True)
+    sim.run(8, log_every=1000)  # compile + warm up
+    float(jnp.sum(sim.neutral_fraction))
+    n_timed = 48
+    t0 = time.time()
+    sim.run(n_timed, log_every=1000)
+    float(jnp.sum(sim.neutral_fraction))
+    elapsed = time.time() - t0
+    n_cells = 1
+    for s in config.geometry.shape:
+        n_cells *= s
+    return n_timed * n_cells / elapsed
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+
+    packets_per_s = _bench_stromgren()
+    try:
+        cell_updates_per_s = _bench_starbench_hydro()
+    except Exception:
+        cell_updates_per_s = None
 
     # Baseline: the C++ reference (task-based mode) measured on THIS host's
     # CPU running the identical workload (BASELINE.md "Measured"); the
@@ -55,6 +87,11 @@ def main():
         "vs_baseline": round(packets_per_s / baseline_packets_per_s, 3)
         if baseline_packets_per_s
         else None,
+        "extra": {
+            "starbench_cell_updates_per_s": (
+                round(cell_updates_per_s, 1) if cell_updates_per_s else None
+            ),
+        },
     }
     print(json.dumps(result))
 

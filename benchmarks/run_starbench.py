@@ -33,8 +33,8 @@ PC = 3.086e16
 MYR = 3.15576e13
 
 
-def main():
-    small = "small" in sys.argv[1:]
+def build_simulation(small: bool):
+    """Construct the starbench RHDSimulation (also used by bench.py)."""
     n_cells = 32 if small else 64
     n_photons = 100000 if small else 1000000
     total_time = 0.141 * MYR
@@ -69,6 +69,15 @@ def main():
         background_temperature=100.0,
     )
     sim = RHDSimulation(config, log=TerminalLog("info"))
+    return sim, config
+
+
+def main():
+    small = "small" in sys.argv[1:]
+    n_steps = 512 if small else 2048
+    n_photons = 100000 if small else 1000000
+    sim, config = build_simulation(small)
+    geometry = config.geometry
 
     # analytic reference
     q, n, alpha = 1e49, 3.113e9, 2.7e-19
