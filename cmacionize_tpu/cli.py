@@ -201,12 +201,115 @@ def _run_rhd(params, log, seed):
     _write_snapshot(params, geometry, fields, sim.time, log)
 
 
+def _run_dust(params, log, seed):
+    """Dust-scattering RT producing a CCD image (``--dusty-radiative-transfer``).
+
+    Parameter layout follows the reference's DustSimulation mode
+    (/root/reference/src/DustSimulation.cpp:67-176 with
+    SpiralGalaxyDensityFunction.hpp:94-106, DustScattering.hpp:96-160,
+    CCDImage.hpp:171-196).
+    """
+    import numpy as _np
+
+    from cmacionize_tpu.models.dust_simulation import DustConfig, DustSimulation
+    from cmacionize_tpu.models.grid import GridGeometry
+
+    geometry = GridGeometry.from_params(params)
+    band = params.get_string("dust:band", "V")
+    band_props = {
+        # hgg, pl, albedo, kappa (m^2/kg) — DustScattering.hpp:96-160
+        "V": (0.44, 0.43, 0.67, 21.9),
+        "K": (0.02, 0.93, 0.28, 2.0),
+    }
+    if band not in band_props:
+        raise ValueError(f"unknown dust band {band!r}")
+    hgg, pl_peak, albedo, kappa = band_props[band]
+
+    # SpiralGalaxyDensityFunction: rho = 1.674e-27 * n0 * exp(-w/r - |z|/h)
+    n0 = params.get_physical_value(
+        "DensityFunction:central density", "number density", "1. cm^-3"
+    )
+    theta = params.get_physical_value("CCDImage:view theta", "angle", "0. radians")
+    phi = params.get_physical_value("CCDImage:view phi", "angle", "0. radians")
+    ccd_anchor = (
+        params.get_physical_value("CCDImage:anchor x", "length", f"{geometry.anchor[0]} m"),
+        params.get_physical_value("CCDImage:anchor y", "length", f"{geometry.anchor[1]} m"),
+    )
+    ccd_sides = (
+        params.get_physical_value("CCDImage:sides x", "length", f"{geometry.sides[0]} m"),
+        params.get_physical_value("CCDImage:sides y", "length", f"{geometry.sides[1]} m"),
+    )
+    config = DustConfig(
+        geometry=geometry,
+        dust_central_density=kappa * 1.674e-27 * n0,
+        dust_scale_radius=params.get_physical_value(
+            "DensityFunction:scale length ISM", "length", "6. kpc"
+        ),
+        dust_scale_height=params.get_physical_value(
+            "DensityFunction:scale height ISM", "length", "0.22 kpc"
+        ),
+        stellar_scale_radius=params.get_physical_value(
+            "ContinuousPhotonSource:scale length stars", "length", "5. kpc"
+        ),
+        stellar_scale_height=params.get_physical_value(
+            "ContinuousPhotonSource:scale height stars", "length", "0.6 kpc"
+        ),
+        n_photons=params.get_int("DustSimulation:number of photons", 500000),
+        albedo=albedo,
+        hgg=hgg,
+        pl=pl_peak,
+        ccd_pixels=(
+            params.get_int("CCDImage:image width", 200),
+            params.get_int("CCDImage:image height", 200),
+        ),
+        view_theta=theta,
+        view_phi=phi,
+        ccd_anchor=ccd_anchor,
+        ccd_sides=ccd_sides,
+        polarization=params.get_bool("DustSimulation:polarization", False),
+    )
+    sim = DustSimulation(config, log=log, seed=seed)
+    folder = params.get_string("DustSimulation:output folder", ".")
+    name = params.get_string("CCDImage:filename", "galaxy_image")
+    if config.polarization:
+        planes = sim.run_polarized()
+        for label, plane in planes.items():
+            path = os.path.join(folder, f"{name}_{label}.dat")
+            _np.asarray(plane, dtype=_np.float64).reshape(
+                config.ccd_pixels
+            ).tofile(path)
+            log.status(f"wrote CCD plane {path}")
+    else:
+        image = sim.run()
+        path = os.path.join(folder, f"{name}.dat")
+        # BinaryArray layout: raw row-major doubles (CCDImage.hpp:299-356)
+        _np.asarray(image, dtype=_np.float64).tofile(path)
+        log.status(f"wrote CCD image {path}")
+
+
+def _run_emission(params, log, snapshot_file):
+    """Emissivity post-processing (``--emission``): read a snapshot, compute
+    per-cell line emissivities, write them back into the same file
+    (cf. /root/reference/src/EmissivityCalculationSimulation.cpp:59-270)."""
+    from cmacionize_tpu.ops.emissivity import emissivity_post_processing
+
+    if not snapshot_file:
+        raise SystemExit("--emission requires --file <snapshot.hdf5>")
+    emis = emissivity_post_processing(snapshot_file, snapshot_file)
+    log.status(
+        f"wrote {len(emis)} emissivity datasets back into {snapshot_file}"
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="cmacionize-tpu",
         description="TPU-native Monte Carlo photoionization + RHD framework",
     )
-    parser.add_argument("--params", "-p", required=True, help="parameter file")
+    parser.add_argument(
+        "--params", "-p", default="",
+        help="parameter file (optional for --emission)",
+    )
     parser.add_argument("--rhd", action="store_true", help="radiation hydro mode")
     parser.add_argument(
         "--task-based", action="store_true",
@@ -216,6 +319,17 @@ def main(argv=None):
         "--task-based-rhd", action="store_true",
         help="accepted for reference CLI parity (same TPU implementation)",
     )
+    parser.add_argument(
+        "--dusty-radiative-transfer", action="store_true",
+        help="dust-scattering RT producing a CCD image",
+    )
+    parser.add_argument(
+        "--emission", action="store_true",
+        help="emissivity post-processing of an existing snapshot",
+    )
+    parser.add_argument(
+        "--file", default="", help="input snapshot for --emission"
+    )
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument(
@@ -224,8 +338,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     log = TerminalLog("info" if args.verbose else "status")
-    params = ParameterFile(args.params)
-    log.status(f"loaded parameter file {args.params}")
+    if not args.params and not args.emission:
+        parser.error("--params is required for this mode")
+    params = ParameterFile(args.params) if args.params else ParameterFile(None)
+    if args.params:
+        log.status(f"loaded parameter file {args.params}")
 
     t0 = time.time()
     if args.dry:
@@ -233,12 +350,18 @@ def main(argv=None):
         return 0
     if args.rhd or args.task_based_rhd:
         _run_rhd(params, log, args.seed)
+    elif args.dusty_radiative_transfer:
+        _run_dust(params, log, args.seed)
+    elif args.emission:
+        _run_emission(params, log, args.file)
     else:
         _run_ionization(params, log, args.seed)
 
-    used = os.path.basename(args.params) + ".used-values"
-    params.write_used_values(used)
-    log.status(f"total runtime {time.time() - t0:.1f} s; used values → {used}")
+    if args.params:
+        used = os.path.basename(args.params) + ".used-values"
+        params.write_used_values(used)
+        log.status(f"used values → {used}")
+    log.status(f"total runtime {time.time() - t0:.1f} s")
     return 0
 
 

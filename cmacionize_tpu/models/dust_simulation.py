@@ -58,6 +58,15 @@ class DustConfig:
     ccd_pixels: Tuple[int, int] = (128, 128)
     # observer along +z by default (face-on image)
     observer_direction: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    # reference CCD parameterization (CCDImage.hpp:128-133): when view angles
+    # are given they override observer_direction, and the image plane axes are
+    # e1 = (-sinφ, cosφ, 0), e2 = (-cosθ cosφ, -cosθ sinφ, sinθ)
+    # (CCDImage::add_photon, CCDImage.hpp:245-252)
+    view_theta: Optional[float] = None  # radians
+    view_phi: Optional[float] = None
+    # image-plane window in SI (CCDImage anchor x/y, sides x/y); None → box
+    ccd_anchor: Optional[Tuple[float, float]] = None
+    ccd_sides: Optional[Tuple[float, float]] = None
     # polarized transport (full Stokes; DustScattering.cpp White-1979 matrix)
     polarization: bool = False
     pl: float = 0.43  # peak linear polarization (V band)
@@ -114,11 +123,46 @@ class DustSimulation:
     """Monte Carlo dust scattering producing a CCD surface-brightness map."""
 
     def __init__(self, config: DustConfig, log: Optional[Log] = None, seed: int = 42):
+        if config.view_theta is not None:
+            th = float(config.view_theta)
+            ph = float(config.view_phi or 0.0)
+            config = dataclasses.replace(
+                config,
+                observer_direction=(
+                    np.sin(th) * np.cos(ph),
+                    np.sin(th) * np.sin(ph),
+                    np.cos(th),
+                ),
+            )
         self.config = config
         self.log = log or NullLog()
         self.key = jax.random.PRNGKey(seed)
         geom = config.geometry
         self.dx = float(geom.cell_size[0])
+
+        # image-plane basis (CCDImage.hpp:245-252); for the default face-on
+        # observer this reduces to e1=x̂, e2=ŷ up to sign
+        obs = np.asarray(self.config.observer_direction, np.float64)
+        obs = obs / np.linalg.norm(obs)
+        cos_t = np.clip(obs[2], -1.0, 1.0)
+        sin_t = np.sqrt(max(0.0, 1.0 - cos_t * cos_t))
+        if sin_t > 1e-12:
+            cos_p, sin_p = obs[0] / sin_t, obs[1] / sin_t
+        else:
+            cos_p, sin_p = 1.0, 0.0
+        self._e1 = np.array([-sin_p, cos_p, 0.0], np.float64)
+        self._e2 = np.array(
+            [-cos_t * cos_p, -cos_t * sin_p, sin_t], np.float64
+        )
+        half = 0.5 * np.asarray(geom.sides, np.float64)
+        corner_reach = np.abs(half[0]) + np.abs(half[1]) + np.abs(half[2])
+        r1 = np.abs(self._e1 * half).sum()
+        r2 = np.abs(self._e2 * half).sum()
+        del corner_reach
+        anchor = config.ccd_anchor or (-r1, -r2)
+        sides = config.ccd_sides or (2.0 * r1, 2.0 * r2)
+        self._ccd_anchor = np.asarray(anchor, np.float64)
+        self._ccd_sides = np.asarray(sides, np.float64)
 
         centers = geom.cell_centers()
         w = np.sqrt(centers[..., 0] ** 2 + centers[..., 1] ** 2)
@@ -177,13 +221,33 @@ class DustSimulation:
         return big - pk.tau_left  # accumulated optical depth
 
     def _ccd_pixel(self, gpos):
-        """Project positions onto the CCD plane (perpendicular to observer)."""
+        """Project positions onto the CCD plane (perpendicular to observer).
+
+        Same projection as the reference (CCDImage::add_photon,
+        /root/reference/src/CCDImage.hpp:245-267): image coordinates are the
+        components of the SI position along the (e1, e2) basis, mapped onto
+        the [anchor, anchor+sides] window.  Events outside the window land in
+        a clipped edge pixel (the reference discards them; the edge rows are
+        a negligible-weight sink at default window = full box projection).
+        """
         cfg = self.config
+        geom = cfg.geometry
         npx, npy = cfg.ccd_pixels
-        shape = jnp.asarray(cfg.geometry.shape, jnp.float32)
-        # face-on default: x-y plane projection
-        px = jnp.clip((gpos[:, 0] / shape[0] * npx).astype(jnp.int32), 0, npx - 1)
-        py = jnp.clip((gpos[:, 1] / shape[1] * npy).astype(jnp.int32), 0, npy - 1)
+        anchor = jnp.asarray(geom.anchor, jnp.float32)
+        cell = jnp.asarray(geom.cell_size, jnp.float32)
+        pos_si = anchor + gpos * cell
+        e1 = jnp.asarray(self._e1, jnp.float32)
+        e2 = jnp.asarray(self._e2, jnp.float32)
+        u = pos_si @ e1
+        v = pos_si @ e2
+        a = self._ccd_anchor
+        s = self._ccd_sides
+        px = jnp.clip(
+            ((u - a[0]) / s[0] * npx).astype(jnp.int32), 0, npx - 1
+        )
+        py = jnp.clip(
+            ((v - a[1]) / s[1] * npy).astype(jnp.int32), 0, npy - 1
+        )
         return px * npy + py
 
     def run(self):
@@ -273,12 +337,8 @@ class DustSimulation:
         ccd = {k: jnp.zeros(npix, jnp.float32) for k in "IQUV"}
         obs = np.asarray(cfg.observer_direction, dtype=np.float32)
         obs = obs / np.linalg.norm(obs)
-        # fixed CCD x-axis ⊥ observer
-        helper = np.array([1.0, 0.0, 0.0], np.float32)
-        if abs(np.dot(helper, obs)) > 0.9:
-            helper = np.array([0.0, 1.0, 0.0], np.float32)
-        ccd_x = helper - np.dot(helper, obs) * obs
-        ccd_x /= np.linalg.norm(ccd_x)
+        # CCD x-axis = image-plane e1 (also the polarization reference axis)
+        ccd_x = np.asarray(self._e1, np.float32)
 
         self.key, key_emit, key_dir, key_tau = jax.random.split(self.key, 4)
         gpos, valid = self._emit(key_emit, n)

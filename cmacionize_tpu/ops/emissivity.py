@@ -18,6 +18,7 @@ and T > 3000 K emission gate is applied as a mask.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax.numpy as jnp
@@ -205,9 +206,10 @@ def emissivity_post_processing(snapshot_in, snapshot_out, abundances=None):
                 np.asarray(parts[key]) if key in parts else np.zeros_like(nd)
             )
     emis = calculate_emissivities(nd, T, xion, abundances)
-    import shutil
+    if os.path.abspath(snapshot_in) != os.path.abspath(snapshot_out):
+        import shutil
 
-    shutil.copy(snapshot_in, snapshot_out)
+        shutil.copy(snapshot_in, snapshot_out)
     with h5py.File(snapshot_out, "a") as handle:
         for label, values in emis.items():
             handle["PartType0"].create_dataset(

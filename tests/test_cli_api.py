@@ -93,3 +93,80 @@ def test_library_api_stromgren():
     outer = xh[r > 4.8 * pc]
     assert np.median(inner) < 1e-3
     assert np.median(outer) > 0.5
+
+
+def test_cli_dust_mode(tmp_path):
+    """--dusty-radiative-transfer writes a BinaryArray CCD image
+    (mode dispatch parity with /root/reference/src/CMacIonize.cpp:274-376)."""
+    param_text = """
+SimulationBox:
+  anchor: [-12. kpc, -12. kpc, -12. kpc]
+  sides: [24. kpc, 24. kpc, 24. kpc]
+DensityGrid:
+  number of cells: [16, 16, 16]
+DensityFunction:
+  central density: 1. cm^-3
+  scale length ISM: 6. kpc
+  scale height ISM: 0.22 kpc
+ContinuousPhotonSource:
+  scale length stars: 5. kpc
+  scale height stars: 0.6 kpc
+dust:
+  band: V
+DustSimulation:
+  number of photons: 2000
+CCDImage:
+  image width: 32
+  image height: 32
+  view theta: 89.7 degrees
+  view phi: 0 degrees
+  anchor x: -12.1 kpc
+  anchor y: -12.1 kpc
+  sides x: 24.2 kpc
+  sides y: 24.2 kpc
+  filename: galaxy_image
+"""
+    param_file = tmp_path / "dust.param"
+    param_file.write_text(param_text)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, "-m", "cmacionize_tpu", "--dusty-radiative-transfer",
+         "--params", str(param_file)],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 0, result.stderr
+    image_file = tmp_path / "galaxy_image.dat"
+    assert image_file.exists()
+    image = np.fromfile(image_file, dtype=np.float64).reshape(32, 32)
+    assert np.all(np.isfinite(image))
+    assert image.sum() > 0.0
+
+
+def test_cli_emission_mode(tmp_path):
+    """--emission appends Emissivity* datasets to an existing snapshot
+    (cf. /root/reference/src/EmissivityCalculationSimulation.cpp:59-270)."""
+    h5py = pytest.importorskip("h5py")
+    snap = tmp_path / "snap.hdf5"
+    n = 27
+    with h5py.File(snap, "w") as handle:
+        parts = handle.create_group("PartType0")
+        parts.create_dataset("NumberDensity", data=np.full(n, 1.0e8))
+        parts.create_dataset("Temperature", data=np.full(n, 8000.0))
+        parts.create_dataset("NeutralFractionH", data=np.full(n, 0.1))
+        parts.create_dataset("NeutralFractionHe", data=np.full(n, 0.2))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, "-m", "cmacionize_tpu", "--emission",
+         "--file", str(snap), "--params", ""],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True, timeout=300,
+    )
+    assert result.returncode == 0, result.stderr
+    with h5py.File(snap, "r") as handle:
+        names = [k for k in handle["PartType0"] if k.startswith("Emissivity")]
+        assert len(names) >= 40  # all 42 reference EMISSIONLINE_* labels
+        hbeta = np.asarray(handle["PartType0"]["EmissivityHBeta"])
+        assert np.all(hbeta > 0)
