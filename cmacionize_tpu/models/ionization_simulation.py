@@ -110,13 +110,20 @@ def h_only_iteration(
     direction = jnp.stack([dx, dy, dz], axis=1)
     packets = traversal.make_packets(position, direction, tau, weight, shape)
     tally = jnp.zeros(chi.shape, chi.dtype)
-    tally, packets = traversal.trace_packets_auto(
-        chi, packets, tally,
-        shape=shape, periodic=periodic, max_steps=max_steps,
-    )
+    block = traversal.default_block(shape)
+    if block is not None:
+        tally, n_absorbed, n_escaped = traversal.trace_packets_blocked_cascade(
+            chi, packets, tally,
+            shape=shape, block=block, periodic=periodic, max_steps=max_steps,
+        )
+    else:
+        tally, packets = traversal.trace_packets(
+            chi, packets, tally,
+            shape=shape, periodic=periodic, max_steps=max_steps,
+        )
+        n_escaped = jnp.sum(~packets.absorbed)
     jH = tally.reshape(shape) * jfac_scale
     new_x = ionization.hydrogen_neutral_fraction(jH, number_density, alpha)
-    n_escaped = jnp.sum(~packets.absorbed)
     return new_x, jH, n_escaped
 
 

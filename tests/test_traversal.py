@@ -199,3 +199,43 @@ def test_spectral_blocked_matches_reference():
     np.testing.assert_array_equal(
         np.asarray(pk_blk.absorbed), np.asarray(pk_ref.absorbed)
     )
+
+
+def test_cascade_matches_plain_tallies():
+    """trace_packets_blocked_cascade is estimator-identical to trace_packets:
+    same deposits for the same emitted packets (f32 round-off), same
+    absorbed/escaped counts."""
+    shape = (16, 16, 16)
+    key = jax.random.PRNGKey(7)
+    n = 20000
+    opacity = (
+        0.05
+        + 0.4 * jax.random.uniform(jax.random.fold_in(key, 1), (np.prod(shape),))
+    )
+    pos = jax.random.uniform(
+        jax.random.fold_in(key, 2), (n, 3), minval=1.0, maxval=15.0
+    )
+    dirs = jax.random.normal(jax.random.fold_in(key, 3), (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    tau = -jnp.log(
+        jax.random.uniform(jax.random.fold_in(key, 4), (n,), minval=1e-6)
+    )
+    w = jnp.ones((n,), jnp.float32)
+    packets = traversal.make_packets(pos, dirs, tau, w, shape)
+    tally0 = jnp.zeros(int(np.prod(shape)), jnp.float32)
+
+    ref_tally, ref_pk = traversal.trace_packets(
+        opacity, packets, tally0, shape=shape
+    )
+    ref_abs = int(jnp.sum(ref_pk.absorbed))
+
+    got_tally, n_abs, n_esc = traversal.trace_packets_blocked_cascade(
+        opacity, packets, tally0, shape=shape, block=(4, 4, 4),
+        shrink=2, n_stages=3,
+    )
+    # widths floor at 8192, so force smaller stages for this small batch
+    np.testing.assert_allclose(
+        np.asarray(got_tally), np.asarray(ref_tally), rtol=2e-5, atol=1e-4
+    )
+    assert int(n_abs) == ref_abs
+    assert int(n_esc) == n - ref_abs
