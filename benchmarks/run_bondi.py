@@ -40,7 +40,7 @@ def run_bondi(n_cells=64, t_end=20 * YR, cfl=0.2, log=print):
         sound_speed=2031.0,
     )
     centers = geometry.cell_centers()
-    rho0, v0, p0 = profile.evaluate(centers)
+    rho0, v0, p0, _ = profile.evaluate(centers)
 
     # initial condition: the analytic profile itself (the reference starts
     # from the equivalent homogeneous state and relaxes; starting on the
@@ -77,7 +77,7 @@ def run_bondi(n_cells=64, t_end=20 * YR, cfl=0.2, log=print):
         geometry.anchor[a] + (np.arange(-2, n + 2) + 0.5) * dx for a in range(3)
     ]
     padded_centers = np.stack(np.meshgrid(*axes_1d, indexing="ij"), axis=-1)
-    p_rho, p_v, p_p = profile.evaluate(padded_centers)
+    p_rho, p_v, p_p, _ = profile.evaluate(padded_centers)
     padded_fields = (p_rho, p_v[..., 0], p_v[..., 1], p_v[..., 2], p_p)
 
     def ghost_slab(axis, side):

@@ -95,33 +95,37 @@ def _pad_axis(
     (cf. BondiHydroBoundary, /root/reference/src/HydroBoundary.hpp).
     """
 
-    def one_side(a, side, bc, inflow_value):
-        idx = [slice(None)] * a.ndim
-        if bc == BC_PERIODIC:
-            idx[axis] = slice(-n, None) if side == "lo" else slice(0, n)
-            ghost = a[tuple(idx)]
-        elif bc == BC_REFLECTIVE:
-            idx[axis] = slice(0, n) if side == "lo" else slice(-n, None)
-            ghost = jnp.flip(a[tuple(idx)], axis=axis)
-            if flip_sign:
-                ghost = -ghost
-        elif bc == BC_OUTFLOW:
-            idx[axis] = slice(0, 1) if side == "lo" else slice(-1, None)
-            edge = a[tuple(idx)]
-            reps = [1] * a.ndim
-            reps[axis] = n
-            ghost = jnp.tile(edge, reps)
-        elif bc == BC_INFLOW:
-            shape = list(a.shape)
-            shape[axis] = n
-            ghost = jnp.broadcast_to(jnp.asarray(inflow_value, a.dtype), shape)
-        else:
-            raise ValueError(f"unknown boundary condition {bc!r}")
-        return ghost
-
-    lo = one_side(arr, "lo", bc_lo, inflow_lo)
-    hi = one_side(arr, "hi", bc_hi, inflow_hi)
+    lo = ghost_one_side(arr, axis, "lo", bc_lo, n, flip_sign, inflow_lo)
+    hi = ghost_one_side(arr, axis, "hi", bc_hi, n, flip_sign, inflow_hi)
     return jnp.concatenate([lo, arr, hi], axis=axis)
+
+
+def ghost_one_side(a, axis, side, bc, n=2, flip_sign=False, inflow_value=None):
+    """Ghost-cell slab for one side of one axis (used by both the local
+    padding above and the domain-decomposed halo exchange, which needs the
+    physical-boundary ghosts separately from the neighbor halos)."""
+    idx = [slice(None)] * a.ndim
+    if bc == BC_PERIODIC:
+        idx[axis] = slice(-n, None) if side == "lo" else slice(0, n)
+        ghost = a[tuple(idx)]
+    elif bc == BC_REFLECTIVE:
+        idx[axis] = slice(0, n) if side == "lo" else slice(-n, None)
+        ghost = jnp.flip(a[tuple(idx)], axis=axis)
+        if flip_sign:
+            ghost = -ghost
+    elif bc == BC_OUTFLOW:
+        idx[axis] = slice(0, 1) if side == "lo" else slice(-1, None)
+        edge = a[tuple(idx)]
+        reps = [1] * a.ndim
+        reps[axis] = n
+        ghost = jnp.tile(edge, reps)
+    elif bc == BC_INFLOW:
+        shape = list(a.shape)
+        shape[axis] = n
+        ghost = jnp.broadcast_to(jnp.asarray(inflow_value, a.dtype), shape)
+    else:
+        raise ValueError(f"unknown boundary condition {bc!r}")
+    return ghost
 
 
 def pad_primitives(
@@ -334,6 +338,29 @@ def hydro_step(
     """
     w = primitives_from_conserved(u, gamma)
     wp = pad_primitives(w, boundaries, n=2, inflow_states=inflow_states)
+    return hydro_step_padded(
+        u, wp, dt, cell_size=cell_size, gamma=gamma, gravity=gravity
+    )
+
+
+def hydro_step_padded(
+    u: HydroState,
+    wp: Primitives,
+    dt,
+    *,
+    cell_size: Tuple[int, int, int],
+    gamma: float = GAMMA_DEFAULT,
+    gravity=None,
+) -> HydroState:
+    """MUSCL-Hancock update from pre-padded primitives (2 ghosts per side).
+
+    Split out of :func:`hydro_step` so the domain-decomposed path can supply
+    ghost cells via an ICI halo exchange (``ppermute`` of slab faces) instead
+    of local boundary-condition padding — the TPU equivalent of the
+    reference's pairwise neighbor sweeps
+    (`HydroDensitySubGrid::outer_gradient_sweep` /`outer_flux_sweep`,
+    /root/reference/src/HydroDensitySubGrid.hpp:626,351).
+    """
     grads = limited_gradients(wp)  # pad-1 region
     wp1 = Primitives(*(f[1:-1, 1:-1, 1:-1] for f in wp))
     w_pred = predict_half_step(wp1, grads, dt, cell_size, gamma)

@@ -115,6 +115,7 @@ QUANTITY_DIMS = {
     "number density": (-3, 0, 0, 0, 0),
     "density": (-3, 1, 0, 0, 0),
     "surface area": (2, 0, 0, 0, 0),
+    "surface density": (-2, 1, 0, 0, 0),
     "volume": (3, 0, 0, 0, 0),
     "reaction rate": (3, 0, -1, 0, 0),
     "velocity": (1, 0, -1, 0, 0),

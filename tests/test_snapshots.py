@@ -259,3 +259,148 @@ def test_density_function_factory(tmp_path):
         total_mass = (fields4.number_density.sum() * geom_cm.cell_volume
                       * 1.6737236e-27)
         assert total_mass == pytest.approx(100 * 1e-5, rel=1e-5)
+
+
+def test_density_function_factory_analytic_types(tmp_path):
+    """Fixture test per analytic DensityFunction type string — factory parity
+    with /root/reference/src/DensityFunctionFactory.hpp:138-174."""
+    from cmacionize_tpu import constants
+    from cmacionize_tpu.models.density_functions import (
+        density_function_from_params,
+    )
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.utils.params import ParameterFile
+
+    pc = 3.086e16
+    geom = GridGeometry(
+        anchor=(-2 * pc, -2 * pc, -2 * pc),
+        sides=(4 * pc, 4 * pc, 4 * pc),
+        shape=(8, 8, 8),
+    )
+
+    # DiscPatch: midplane density from the reference formula
+    fields = density_function_from_params(ParameterFile({
+        "DensityFunction": {
+            "type": "DiscPatch",
+            "surface density": "30. Msol pc^-2",
+            "scale height": "0.2 pc",
+            "disc position": "0. pc",
+            "temperature": "1.e3 K",
+        }}), geom)
+    nd = fields.number_density
+    assert np.all(np.isfinite(nd)) and nd.max() > 0
+    # density decreases away from the midplane
+    assert nd[4, 4, 0] < nd[4, 4, 4]
+
+    # CoredDMProfile: n(0) == rho0 / mu m_p, decreasing outward
+    fields = density_function_from_params(ParameterFile({
+        "DensityFunction": {
+            "type": "CoredDMProfile",
+            "core radius": "1. pc",
+            "maximum circular velocity": "21.1 km s^-1",
+            "central density": "9.48e-21 g cm^-3",
+            "temperature": "500. K",
+        }}), geom)
+    n0_expect = 9.48e-18 / (0.5 * constants.PROTON_MASS * 2.0)
+    assert fields.number_density.max() < n0_expect  # centre not sampled
+    r_center = fields.number_density[4, 4, 4]
+    assert r_center > fields.number_density[0, 0, 0]
+    assert np.allclose(fields.temperature, 500.0)
+
+    # DiscIC: power-law slope γρ = 1.5 between two radii + tangential v
+    fields = density_function_from_params(ParameterFile({
+        "DensityFunction": {
+            "type": "DiscIC",
+            "mass": "18. Msol",
+            "temperature": "500. K",
+            "bondi density": "1.e-16 g cm^-3",
+            "bondi velocity": "2. km s^-1",
+        }}), geom)
+    c = geom.cell_centers()
+    r = np.sqrt((c**2).sum(-1))
+    n = fields.number_density
+    slope = (np.log(n[4, 4, 6]) - np.log(n[4, 4, 7])) / (
+        np.log(r[4, 4, 6]) - np.log(r[4, 4, 7]))
+    assert slope == pytest.approx(-1.5, rel=1e-3)
+    v = fields.velocity
+    assert v is not None
+    # tangential: v ⊥ cylindrical radius
+    dot = v[..., 0] * c[..., 0] + v[..., 1] * c[..., 1]
+    scale = np.sqrt((v[..., :2] ** 2).sum(-1) * (c[..., :2] ** 2).sum(-1))
+    assert np.all(np.abs(dot) <= 1e-10 * scale)
+
+    # BondiProfile: rho ~ r^-3/2 far inside the Bondi radius; inflow v < 0
+    geom_b = GridGeometry(
+        anchor=(-1e13, -1e13, -1e13), sides=(2e13, 2e13, 2e13), shape=(8, 8, 8),
+    )
+    fields = density_function_from_params(ParameterFile({
+        "DensityFunction": {
+            "type": "BondiProfile",
+            "central mass": "18. Msol",
+            "Bondi density": "1.e-19 g cm^-3",
+            "sound speed": "2.031 km s^-1",
+        }}), geom_b)
+    n = fields.number_density
+    assert np.all(n > 0) and np.all(np.isfinite(n))
+    cb = geom_b.cell_centers()
+    radial_v = (fields.velocity * cb).sum(-1)
+    assert np.all(radial_v < 0)  # accretion inflow everywhere
+
+    # SpiralGalaxy
+    kpc = 3.086e19
+    geom_g = GridGeometry(
+        anchor=(-12 * kpc,) * 3, sides=(24 * kpc,) * 3, shape=(8, 8, 8),
+    )
+    fields = density_function_from_params(ParameterFile({
+        "DensityFunction": {
+            "type": "SpiralGalaxy",
+            "central density": "1. cm^-3",
+            "scale length ISM": "6. kpc",
+            "scale height ISM": "0.22 kpc",
+        }}), geom_g)
+    assert fields.number_density[4, 4, 4] > fields.number_density[0, 0, 4]
+
+
+def test_density_function_interpolated(tmp_path):
+    """Interpolated: z-only profile file in the reference's YAML-headed
+    format (cf. test/test_interpolated_density.txt) is reproduced by
+    trilinear interpolation."""
+    from cmacionize_tpu.models.density_functions import (
+        density_function_from_params,
+    )
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.utils.params import ParameterFile
+
+    zs = np.linspace(0.05, 0.95, 10)
+    lines = "\n".join(f"{z} {1.0 + z * z}" for z in zs)
+    content = f"""---
+num_x: 0
+xmin: 0. m
+xmax: 1. m
+num_y: 0
+ymin: 0. m
+ymax: 1. m
+num_z: 10
+zmin: 0. m
+zmax: 1. m
+num_column: 2
+column_0_variable: z
+column_0_unit: m
+column_1_variable: number density
+column_1_unit: m^-3
+---
+{lines}
+"""
+    path = tmp_path / "interp.txt"
+    path.write_text(content)
+    geom = GridGeometry(anchor=(0, 0, 0), sides=(1, 1, 1), shape=(4, 4, 8))
+    fields = density_function_from_params(ParameterFile({
+        "DensityFunction": {"type": "Interpolated", "filename": str(path)}
+    }), geom)
+    nd = fields.number_density
+    zc = (np.arange(8) + 0.5) / 8.0
+    expected = np.interp(zc, zs, 1.0 + zs * zs)
+    np.testing.assert_allclose(nd[0, 0], expected, rtol=1e-6)
+    # constant along collapsed axes
+    np.testing.assert_allclose(
+        nd, np.broadcast_to(nd[0:1, 0:1, :], nd.shape))
