@@ -28,13 +28,24 @@ class RestartManager:
         prefix: str = "restart",
         interval_seconds: float = 3600.0,
         max_keep: int = 2,
+        max_walltime: float = 0.0,
+        resubmit_command: str = "",
     ):
+        """``max_walltime`` > 0 requests a graceful stop (checkpoint + exit
+        the iteration loop) once that many wall-clock seconds have elapsed;
+        ``resubmit_command`` is then executed so queued jobs can chain
+        (cf. RestartManager::stop_simulation + the resubmit hook,
+        /root/reference/src/RestartManager.hpp:206-250)."""
         self.path = path
         self.prefix = prefix
         self.interval = interval_seconds
         self.max_keep = max_keep
-        self._last_write = time.time()
+        self.max_walltime = max_walltime
+        self.resubmit_command = resubmit_command
+        self._start = time.time()
+        self._last_write = self._start
         self._counter = 0
+        self._resubmitted = False
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------------ write
@@ -43,6 +54,21 @@ class RestartManager:
         """True if the write interval has elapsed (cf. RestartManager's
         hourly default, /root/reference/src/RestartManager.hpp:108-122)."""
         return time.time() - self._last_write >= self.interval
+
+    def want_stop(self) -> bool:
+        """True once the max-walltime budget is exhausted."""
+        return (
+            self.max_walltime > 0.0
+            and time.time() - self._start >= self.max_walltime
+        )
+
+    def on_stop(self) -> None:
+        """Run the resubmit hook (once) after the stop checkpoint is written."""
+        if self.resubmit_command and not self._resubmitted:
+            import subprocess
+
+            self._resubmitted = True
+            subprocess.run(self.resubmit_command, shell=True, check=False)
 
     def write(self, arrays: Dict[str, Any], scalars: Dict[str, Any]) -> str:
         """Checkpoint arrays + scalars; atomic rename; prune old files."""

@@ -150,11 +150,13 @@ class HOnlyIonizationSimulation:
             geom.shape, config.initial_neutral_fraction, jnp.float32
         )
         self.jH = jnp.zeros(geom.shape, jnp.float32)
+        self.iteration = 0  # completed iterations (persisted by restart)
         self._source_gpos = tuple(
             float(g) for g in geom.position_to_grid_coords(config.source_position)
         )
 
-    def run(self, n_iterations: Optional[int] = None, adaptive: bool = False):
+    def run(self, n_iterations: Optional[int] = None, adaptive: bool = False,
+            restart_manager=None):
         """Run MC iterations.
 
         adaptive=True uses the width-compacting traversal (one host sync +
@@ -162,9 +164,20 @@ class HOnlyIonizationSimulation:
         the single-jit path (dispatch latency + sort cost exceed the saved
         scatter width), so the default is the fully fused path; the knob
         remains for direct-attached hardware where the tradeoff may flip.
+
+        ``restart_manager``: optional io.restart.RestartManager — checkpoints
+        on its cadence, on SIGINT, and on max-walltime (graceful stop +
+        resubmit hook, cf. /root/reference/src/RestartManager.hpp:206-250).
+        ``n_iterations`` counts TOTAL iterations including any restored by
+        load_restart, so a killed-and-resumed run reproduces the
+        uninterrupted one bit for bit.
         """
+        from cmacionize_tpu.utils import signals
+
         cfg = self.config
         n_iterations = n_iterations or cfg.n_iterations
+        if restart_manager is not None:
+            signals.install()
         sigma_dx = cfg.cross_section * self.dx
         jfac_scale = (
             cfg.luminosity
@@ -172,7 +185,8 @@ class HOnlyIonizationSimulation:
             * self.dx
             / (cfg.n_photons * self.geometry.cell_volume)
         )
-        for iteration in range(n_iterations):
+        while self.iteration < n_iterations:
+            iteration = self.iteration
             self.key, subkey = jax.random.split(self.key)
             if adaptive:
                 self.neutral_fraction, self.jH, n_escaped = (
@@ -191,11 +205,43 @@ class HOnlyIonizationSimulation:
                     jfac_scale=jfac_scale,
                     alpha=cfg.recombination_rate,
                 )
+            self.iteration += 1
             self.log.info(
                 f"iteration {iteration + 1}/{n_iterations}: "
                 f"{int(n_escaped)} / {cfg.n_photons} photons escaped"
             )
+            if restart_manager is not None:
+                stopping = (
+                    signals.stop_requested() or restart_manager.want_stop()
+                )
+                if restart_manager.due() or stopping:
+                    self.write_restart(restart_manager)
+                if stopping:
+                    self.log.warning(
+                        "graceful stop requested; exiting iteration loop"
+                    )
+                    restart_manager.on_stop()
+                    break
         return self.neutral_fraction
+
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        arrays = {
+            "neutral_fraction": self.neutral_fraction,
+            "jH": self.jH,
+            "rng_key": jax.random.key_data(self.key),
+        }
+        return manager.write(arrays, {"iteration": self.iteration})
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+
+        arrays, scalars = RestartManager.load(filename)
+        self.neutral_fraction = jnp.asarray(arrays["neutral_fraction"])
+        self.jH = jnp.asarray(arrays["jH"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.iteration = int(scalars["iteration"])
 
     def _iteration_adaptive(self, key, sigma_dx, jfac_scale):
         from cmacionize_tpu.models import sources as sources_mod

@@ -142,6 +142,7 @@ class MultiFreqIonizationSimulation:
         self.config = config
         self.log = log or NullLog()
         self.key = jax.random.PRNGKey(seed)
+        self.iteration = 0  # completed iterations (persisted by restart)
         self.geometry = geom
         self.dx = float(cell[0])
 
@@ -368,12 +369,21 @@ class MultiFreqIonizationSimulation:
         xion.update(metals)
         return T, xion, j
 
-    def run(self, n_iterations: Optional[int] = None):
+    def run(self, n_iterations: Optional[int] = None, restart_manager=None):
+        """``restart_manager``: optional io.restart.RestartManager —
+        checkpoint on cadence / SIGINT / max-walltime; ``n_iterations``
+        counts total iterations including restored ones, so kill-and-resume
+        reproduces the uninterrupted run bit for bit."""
+        from cmacionize_tpu.utils import signals
+
         cfg = self.config
         n_iterations = n_iterations or cfg.n_iterations
+        if restart_manager is not None:
+            signals.install()
         shoot = jax.jit(self._mc_shoot)
         device = jax.devices()[0]  # compute device for the MC transport
-        for loop in range(n_iterations):
+        while self.iteration < n_iterations:
+            loop = self.iteration
             self.key, subkey = jax.random.split(self.key)
             # opacity fractions are physical: clamp the stored (possibly >1)
             # raw iterates when building χ; move state (solved on the CPU
@@ -392,9 +402,42 @@ class MultiFreqIonizationSimulation:
             self.temperature, self.xion, self.j_fields = self._solve_state(
                 integrals, do_temp
             )
+            self.iteration += 1
             self.log.info(
                 f"iteration {loop + 1}/{n_iterations}: "
                 f"<T> = {float(jnp.mean(self.temperature)):.1f} K, "
                 f"<xH> = {float(jnp.mean(self.xion['H_n'])):.4f}"
             )
+            if restart_manager is not None:
+                stopping = (
+                    signals.stop_requested() or restart_manager.want_stop()
+                )
+                if restart_manager.due() or stopping:
+                    self.write_restart(restart_manager)
+                if stopping:
+                    self.log.warning(
+                        "graceful stop requested; exiting iteration loop"
+                    )
+                    restart_manager.on_stop()
+                    break
         return self.xion, self.temperature
+
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        arrays = {f"xion_{name}": arr for name, arr in self.xion.items()}
+        arrays["temperature"] = self.temperature
+        arrays["rng_key"] = jax.random.key_data(self.key)
+        return manager.write(arrays, {"iteration": self.iteration})
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+
+        arrays, scalars = RestartManager.load(filename)
+        self.xion = {
+            k[len("xion_"):]: jnp.asarray(v)
+            for k, v in arrays.items() if k.startswith("xion_")
+        }
+        self.temperature = jnp.asarray(arrays["temperature"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.iteration = int(scalars["iteration"])

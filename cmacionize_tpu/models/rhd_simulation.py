@@ -233,11 +233,15 @@ class RHDSimulation:
                 )
             if statistics is not None:
                 statistics.log(self.time, self.state, self.geometry.cell_volume)
-            stopping = signals.stop_requested()
+            stopping = signals.stop_requested() or (
+                restart_manager is not None and restart_manager.want_stop()
+            )
             if restart_manager is not None and (restart_manager.due() or stopping):
                 self.write_restart(restart_manager)
             if stopping:
                 self.log.warning("graceful stop requested; exiting time loop")
+                if restart_manager is not None:
+                    restart_manager.on_stop()
                 break
         return self.state, self.neutral_fraction
 

@@ -349,3 +349,108 @@ def test_isotropic_external_source():
     )
     assert not bool(jnp.any(pk.active))
     assert float(tally.sum()) / n > 1.0  # mean chord length > 1 cell
+
+
+def test_honly_restart_bitwise(tmp_path):
+    """Kill-and-resume reproduces the uninterrupted H-only run bit for bit
+    (iteration counter + RNG key + fields in the checkpoint — cf.
+    /root/reference/src/RestartManager.hpp:108-250)."""
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.io.restart import RestartManager
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.ionization_simulation import (
+        HOnlyConfig, HOnlyIonizationSimulation,
+    )
+
+    pc = 3.086e16
+    config = HOnlyConfig(
+        geometry=GridGeometry((-5 * pc,) * 3, (10 * pc,) * 3, (12, 12, 12)),
+        number_density=1e8,
+        temperature=8000.0,
+        source_position=(0.0, 0.0, 0.0),
+        luminosity=4.26e49,
+        cross_section=6.3e-22,
+        recombination_rate=4e-19,
+        n_photons=2000,
+        n_iterations=6,
+    )
+    sim_a = HOnlyIonizationSimulation(config, seed=7)
+    sim_a.run(6)
+
+    sim_b = HOnlyIonizationSimulation(config, seed=7)
+    sim_b.run(3)
+    manager = RestartManager(path=str(tmp_path), interval_seconds=1e9)
+    ckpt = sim_b.write_restart(manager)
+
+    sim_c = HOnlyIonizationSimulation(config, seed=99)  # wrong seed on purpose
+    sim_c.load_restart(ckpt)
+    assert sim_c.iteration == 3
+    sim_c.run(6)
+
+    assert jnp.array_equal(sim_c.neutral_fraction, sim_a.neutral_fraction)
+    assert jnp.array_equal(sim_c.jH, sim_a.jH)
+
+
+def test_multifreq_restart_bitwise(tmp_path):
+    """Kill-and-resume for the multifreq driver (xion dict + T + RNG key)."""
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.io.restart import RestartManager
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.multifreq_simulation import (
+        MultiFreqConfig, MultiFreqIonizationSimulation,
+    )
+
+    pc = 3.086e16
+    config = MultiFreqConfig(
+        geometry=GridGeometry((-5 * pc,) * 3, (10 * pc,) * 3, (8, 8, 8)),
+        number_density=1e8,
+        initial_temperature=8000.0,
+        source_position=(0.0, 0.0, 0.0),
+        luminosity=4.26e49,
+        spectrum_type="planck",
+        spectrum_temperature=4e4,
+        spectrum_frequency=3.29e15,
+        abundances={"He": 0.1, "C": 2.2e-4, "N": 4e-5, "O": 3.3e-4,
+                    "Ne": 5e-5, "S": 9e-6},
+        n_photons=1000,
+        n_iterations=4,
+        n_bins=8,
+        do_temperature=True,
+        minimum_iteration_number=1,
+    )
+    sim_a = MultiFreqIonizationSimulation(config, seed=3)
+    sim_a.run(4)
+
+    sim_b = MultiFreqIonizationSimulation(config, seed=3)
+    sim_b.run(2)
+    manager = RestartManager(path=str(tmp_path), interval_seconds=1e9)
+    ckpt = sim_b.write_restart(manager)
+
+    sim_c = MultiFreqIonizationSimulation(config, seed=42)
+    sim_c.load_restart(ckpt)
+    sim_c.run(4)
+
+    for name in sim_a.xion:
+        assert jnp.array_equal(sim_c.xion[name], sim_a.xion[name]), name
+    assert jnp.array_equal(sim_c.temperature, sim_a.temperature)
+
+
+def test_restart_manager_walltime_stop(tmp_path):
+    """max_walltime triggers want_stop and the resubmit hook runs once."""
+    import time as _time
+
+    from cmacionize_tpu.io.restart import RestartManager
+
+    marker = tmp_path / "resubmitted"
+    manager = RestartManager(
+        path=str(tmp_path), interval_seconds=1e9, max_walltime=0.05,
+        resubmit_command=f"touch {marker}",
+    )
+    assert not manager.want_stop()
+    _time.sleep(0.06)
+    assert manager.want_stop()
+    manager.on_stop()
+    manager.on_stop()  # idempotent
+    assert marker.exists()
