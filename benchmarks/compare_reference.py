@@ -1,0 +1,167 @@
+"""Acceptance comparison: our benchmark output vs the C++ reference's.
+
+Usage:
+    python benchmarks/compare_reference.py lexington <ref_ascii.txt> <ours.hdf5>
+    python benchmarks/compare_reference.py stromgren_diffuse <ref_ascii.txt> <ours.hdf5>
+
+The reference side is produced by the (validation-patched, extra-columns)
+AsciiFileDensityGridWriter of the C++ build at /tmp/cmi_build — see
+/tmp/build_reference.sh.  Both runs must use the same grid, photon budget
+and iteration count; agreement criteria are radial-profile bands sized to
+the Monte Carlo noise of the shared budget plus the documented method
+deltas (RNG stream, f32 transport, binned-frequency tallies).
+
+Checked per benchmark:
+  - H ionization front radius (50% crossing) within 4%;
+  - radially binned xH profile: |Δ| < 0.1 in the front region, < 0.02
+    elsewhere (n > 0 cells only — cavity cells carry no physical state);
+  - lexington additionally: temperature profile within 12% where ionized,
+    He front radius within 6%, O+/C+ ionized-zone fractions within 0.15.
+"""
+
+import sys
+
+import numpy as np
+
+
+def read_reference_ascii(path):
+    data = np.loadtxt(path)
+    cols = {
+        "x": 0, "y": 1, "z": 2, "n": 3, "vol": 4, "xH": 5,
+    }
+    out = {k: data[:, i] for k, i in cols.items()}
+    if data.shape[1] >= 12:
+        for i, name in enumerate(["T", "xHe", "xO", "xOp", "xCp", "xN"]):
+            out[name] = data[:, 6 + i]
+    out["r"] = np.sqrt(out["x"] ** 2 + out["y"] ** 2 + out["z"] ** 2)
+    return out
+
+
+def read_ours(path):
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        parts = f["PartType0"]
+        coords = np.asarray(parts["Coordinates"], dtype=np.float64)
+        box = np.asarray(f["Header"].attrs["BoxSize"], dtype=np.float64)
+        # snapshot coordinates are box-relative; recentre on the box middle
+        rel = coords - 0.5 * box
+        out = {
+            "r": np.sqrt((rel**2).sum(1)),
+            "n": np.asarray(parts["NumberDensity"], dtype=np.float64),
+            "xH": np.asarray(parts["NeutralFractionH"], dtype=np.float64),
+        }
+        for ref_name, ds in [
+            ("T", "Temperature"),
+            ("xHe", "NeutralFractionHe"),
+            ("xO", "NeutralFractionO_n"),
+            ("xOp", "NeutralFractionO_p1"),
+            ("xCp", "NeutralFractionC_p1"),
+            ("xN", "NeutralFractionN_n"),
+        ]:
+            if ds in parts:
+                out[ref_name] = np.asarray(parts[ds], dtype=np.float64)
+    return out
+
+
+def front_radius(r, x, level=0.5, n=None):
+    sel = np.ones(r.shape, bool) if n is None else (n > 0)
+    order = np.argsort(r[sel])
+    rs, xs = r[sel][order], np.clip(x[sel][order], 0.0, 1.0)
+    # smooth radially binned profile, find first crossing of `level`
+    nb = 48
+    edges = np.linspace(0, rs.max(), nb + 1)
+    prof = np.array([
+        xs[(rs >= e0) & (rs < e1)].mean() if ((rs >= e0) & (rs < e1)).any()
+        else np.nan
+        for e0, e1 in zip(edges[:-1], edges[1:])
+    ])
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    ok = np.isfinite(prof)
+    above = np.where(prof[ok] > level)[0]
+    if len(above) == 0:
+        return mid[ok][-1]
+    return mid[ok][above[0]]
+
+
+def binned(r, q, edges, n=None, sel_extra=None):
+    sel = np.ones(r.shape, bool) if n is None else (n > 0)
+    if sel_extra is not None:
+        sel &= sel_extra
+    out = np.full(len(edges) - 1, np.nan)
+    for i, (e0, e1) in enumerate(zip(edges[:-1], edges[1:])):
+        m = sel & (r >= e0) & (r < e1)
+        if m.any():
+            out[i] = q[m].mean()
+    return out
+
+
+def compare(kind, ref_path, ours_path):
+    ref = read_reference_ascii(ref_path)
+    ours = read_ours(ours_path)
+    failures = []
+
+    rf_ref = front_radius(ref["r"], ref["xH"], n=ref["n"])
+    rf_ours = front_radius(ours["r"], ours["xH"], n=ours["n"])
+    ratio = rf_ours / rf_ref
+    print(f"H front radius: ref {rf_ref:.4g} m, ours {rf_ours:.4g} m, "
+          f"ratio {ratio:.4f}")
+    if not 0.96 < ratio < 1.04:
+        failures.append(f"H front radius ratio {ratio:.4f} outside 4%")
+
+    edges = np.linspace(0.0, ref["r"].max() * 0.95, 32)
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    xh_ref = binned(ref["r"], np.clip(ref["xH"], 0, 1), edges, n=ref["n"])
+    xh_ours = binned(ours["r"], np.clip(ours["xH"], 0, 1), edges, n=ours["n"])
+    front = np.abs(mid - rf_ref) < 0.25 * rf_ref
+    dx = np.abs(xh_ref - xh_ours)
+    worst_front = np.nanmax(np.where(front, dx, 0.0))
+    worst_flat = np.nanmax(np.where(~front, dx, 0.0))
+    print(f"xH profile: max |Δ| front region {worst_front:.3f}, "
+          f"elsewhere {worst_flat:.3f}")
+    if worst_front > 0.1:
+        failures.append(f"xH front-region profile deviates {worst_front:.3f}")
+    if worst_flat > 0.02:
+        failures.append(f"xH far-field profile deviates {worst_flat:.3f}")
+
+    if kind == "lexington":
+        ion_ref = ref["xH"] < 0.5
+        ion_ours = ours["xH"] < 0.5
+        t_ref = binned(ref["r"], ref["T"], edges, n=ref["n"], sel_extra=ion_ref)
+        t_ours = binned(ours["r"], ours["T"], edges, n=ours["n"],
+                        sel_extra=ion_ours)
+        with np.errstate(invalid="ignore"):
+            t_dev = np.nanmax(np.abs(t_ref - t_ours) / t_ref)
+        print(f"T profile (ionized region): max rel dev {t_dev:.3f}")
+        if t_dev > 0.12:
+            failures.append(f"T profile deviates {t_dev:.3f}")
+
+        rf_he_ref = front_radius(ref["r"], ref["xHe"], n=ref["n"])
+        rf_he_ours = front_radius(ours["r"], ours["xHe"], n=ours["n"])
+        he_ratio = rf_he_ours / rf_he_ref
+        print(f"He front radius ratio: {he_ratio:.4f}")
+        if not 0.94 < he_ratio < 1.06:
+            failures.append(f"He front radius ratio {he_ratio:.4f} outside 6%")
+
+        for name in ("xOp", "xCp"):
+            if name in ref and name in ours:
+                q_ref = binned(ref["r"], ref[name], edges, n=ref["n"],
+                               sel_extra=ion_ref)
+                q_ours = binned(ours["r"], ours[name], edges, n=ours["n"],
+                                sel_extra=ion_ours)
+                dev = np.nanmax(np.abs(q_ref - q_ours))
+            print(f"{name} ionized-zone profile: max |Δ| {dev:.3f}")
+            if dev > 0.15:
+                failures.append(f"{name} profile deviates {dev:.3f}")
+
+    if failures:
+        print("FAIL")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(compare(sys.argv[1], sys.argv[2], sys.argv[3]))

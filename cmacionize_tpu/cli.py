@@ -60,7 +60,19 @@ def _run_ionization(params, log, seed):
         )
 
         config = MultiFreqConfig.from_params(params)
-        sim = MultiFreqIonizationSimulation(config, log=log, seed=seed)
+        density = init_T = None
+        if params.get_string("DensityFunction:type", "Homogeneous") != "Homogeneous":
+            from cmacionize_tpu.models.density_functions import (
+                density_function_from_params,
+            )
+
+            df = density_function_from_params(params, config.geometry)
+            density = df.number_density
+            init_T = df.temperature
+        sim = MultiFreqIonizationSimulation(
+            config, log=log, seed=seed, density=density,
+            initial_temperature=init_T,
+        )
         xion, temperature = sim.run()
         fields = {
             "NumberDensity": np.asarray(sim.number_density),

@@ -72,9 +72,9 @@ class MultiFreqConfig:
         ).lower()
         abund = dict(ions.DEFAULT_ABUNDANCES)
         for element in abund:
-            key = f"Abundances:{element}"
-            if params.has_value(key):
-                abund[element] = params.get_number(key)
+            for key in (f"Abundances:{element}", f"AbundanceModel:{element}"):
+                if params.has_value(key):
+                    abund[element] = params.get_number(key)
         return cls(
             geometry=geometry,
             number_density=params.get_physical_value(
@@ -122,7 +122,8 @@ class MultiFreqIonizationSimulation:
     """Driver for the multi-element photoionization loop."""
 
     def __init__(
-        self, config: MultiFreqConfig, log: Optional[Log] = None, seed: int = 42
+        self, config: MultiFreqConfig, log: Optional[Log] = None,
+        seed: int = 42, density=None, initial_temperature=None,
     ):
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
@@ -183,10 +184,25 @@ class MultiFreqIonizationSimulation:
 
         self.spectra = reemission.ReemissionSpectra.build()
 
-        # grid state (f32 for traversal; solves upcast internally)
+        # grid state (f32 for traversal; solves upcast internally);
+        # ``density``/``initial_temperature`` array overrides support
+        # structured ICs (BlockSyntax cavities etc.) from the
+        # DensityFunction factory
         shape = geom.shape
-        self.number_density = jnp.full(shape, config.number_density, jnp.float32)
-        self.temperature = jnp.full(shape, config.initial_temperature, jnp.float64)
+        if density is not None:
+            self.number_density = jnp.asarray(density, jnp.float32).reshape(shape)
+        else:
+            self.number_density = jnp.full(
+                shape, config.number_density, jnp.float32
+            )
+        if initial_temperature is not None:
+            self.temperature = jnp.asarray(
+                initial_temperature, jnp.float64
+            ).reshape(shape)
+        else:
+            self.temperature = jnp.full(
+                shape, config.initial_temperature, jnp.float64
+            )
         self.xion = {
             name: jnp.full(shape, config.initial_neutral_fraction, jnp.float64)
             for name in ions.ION_NAMES
@@ -367,6 +383,15 @@ class MultiFreqIonizationSimulation:
 
         xion = {"H_n": h0, "He_n": he0}
         xion.update(metals)
+        # zero-density (cavity) cells carry no physical state; pin them to
+        # neutral so NaNs cannot poison the opacity fields
+        # (cf. IonizationStateCalculator.cpp:190-260 vacuum branch)
+        vacuum = nd <= 0.0
+        if bool(jnp.any(vacuum)):
+            for name in xion:
+                fill = 1.0 if name in ("H_n", "He_n", "N_n", "O_n", "Ne_n") else 0.0
+                xion[name] = jnp.where(vacuum, fill, xion[name])
+            T = jnp.where(vacuum, 500.0, T)
         return T, xion, j
 
     def run(self, n_iterations: Optional[int] = None, restart_manager=None):
