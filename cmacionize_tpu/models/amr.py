@@ -1,0 +1,549 @@
+"""Adaptive mesh refinement grid family (TPU-native design).
+
+Replaces the reference's pointer-tree AMR
+(/root/reference/src/AMRDensityGrid.hpp:44-808, AMRGrid.hpp,
+AMRGridCell.hpp) with a design shaped for XLA: refinement levels are
+*level-synchronous dense lattices* instead of an octree of heap cells.
+
+Representation
+--------------
+A cell at level ``l`` lives on the lattice ``shape * 2**l``.  Construction
+(host-side numpy, like the reference's grid setup) produces, per level, a
+boolean ``leaf`` mask on that level's lattice; leaves across all levels are
+concatenated into one *compact cell array* of length ``C`` (volumes,
+centers, levels).  An int32 ``owner`` map on the finest lattice
+(``shape * 2**max_level``) sends every finest-lattice cell to its owning
+leaf.
+
+Transport ("dense-expand")
+--------------------------
+Photon traversal runs on the finest uniform lattice with per-cell opacity
+``chi[owner]`` — a single gather per iteration — reusing the existing
+blocked traversal kernels unchanged (a uniform lattice is the shape the MXU
+/ VPU want; a data-dependent tree walk is not).  Path-length tallies on the
+fine lattice are summed back per leaf with one ``segment_sum``.  The result
+is *exactly* the optical-depth integral through the multi-level grid: within
+a leaf the opacity is constant, so splitting its path into finest-lattice
+segments changes nothing.  Physics solves (ionization balance, temperature)
+then run on the compact ``[C]`` arrays — the AMR saving: ``C`` cells of
+state instead of ``prod(shape)*8**max_level``.
+
+Refinement criteria mirror the reference's five schemes
+(/root/reference/src/AMRRefinementSchemeFactory.hpp:73-84), vectorized over
+all cells of a level at once.  Like the reference (AMRDensityGrid.hpp:101,
+refine_cell), refinement is applied recursively at construction and can be
+re-applied between iterations (``refinement_interval``), with cell state
+resampled through the finest-lattice roundtrip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmacionize_tpu.models.grid import GridGeometry
+
+__all__ = [
+    "AMRGrid",
+    "build_amr_grid",
+    "MassRefinement",
+    "OpacityRefinement",
+    "SpatialRefinement",
+    "OIRefinement",
+    "CMacIonizeRefinement",
+    "refinement_scheme_from_params",
+    "AMRIonizationSimulation",
+]
+
+
+# ---------------------------------------------------------------------------
+# Refinement schemes (vectorized equivalents of the reference's 5 classes)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MassRefinement:
+    """Refine while cell mass (particle count) exceeds the target.
+
+    cf. /root/reference/src/MassAMRRefinementScheme.hpp:39-90:
+    ``volume * number_density > target_npart``.
+    """
+
+    target_npart: float = 1.0
+    max_level: int = 6
+
+    def refine(self, level, centers, volume, number_density, fractions):
+        if level >= self.max_level:
+            return np.zeros(len(centers), bool)
+        return volume * number_density > self.target_npart
+
+
+@dataclasses.dataclass(frozen=True)
+class OpacityRefinement:
+    """Refine while the cell opacity (m^-1) exceeds the target.
+
+    cf. /root/reference/src/OpacityAMRRefinementScheme.hpp:38-80.  Opacity is
+    ``n_H * x_Hn * sigma`` with the HI photoionization cross section at the
+    ionization threshold unless another sigma is given.
+    """
+
+    target_opacity: float = 1.0  # m^-1
+    max_level: int = 6
+    sigma: float = 6.3e-22  # m^2, HI at nu_ion
+
+    def refine(self, level, centers, volume, number_density, fractions):
+        if level >= self.max_level:
+            return np.zeros(len(centers), bool)
+        xn = fractions.get("H_n", np.ones(len(centers)))
+        return number_density * xn * self.sigma > self.target_opacity
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialRefinement:
+    """Refine every cell whose center lies inside a fixed zone box.
+
+    cf. /root/reference/src/SpatialAMRRefinementScheme.hpp:39-120.
+    """
+
+    zone_anchor: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    zone_sides: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    max_level: int = 4
+
+    def refine(self, level, centers, volume, number_density, fractions):
+        if level >= self.max_level:
+            return np.zeros(len(centers), bool)
+        a = np.asarray(self.zone_anchor)
+        b = a + np.asarray(self.zone_sides)
+        return np.all((centers >= a) & (centers < b), axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class OIRefinement:
+    """Refine while the neutral-oxygen transition-zone mass is large.
+
+    cf. /root/reference/src/OIAMRRefinementScheme.hpp:50-110:
+    ``volume * x(O_n) * x(O_p1) * n_H > target_N`` — peaks in the O0/O+
+    transition zone, i.e. at the ionization front.
+    """
+
+    target_n_oi: float = 1.0e5
+    max_level: int = 6
+
+    def refine(self, level, centers, volume, number_density, fractions):
+        if level >= self.max_level:
+            return np.zeros(len(centers), bool)
+        on = fractions.get("O_n", np.zeros(len(centers)))
+        op1 = fractions.get("O_p1", np.zeros(len(centers)))
+        return volume * on * op1 * number_density > self.target_n_oi
+
+
+@dataclasses.dataclass(frozen=True)
+class CMacIonizeRefinement:
+    """Refine while the density function flags the cell (negative density).
+
+    cf. /root/reference/src/CMacIonizeAMRRefinementScheme.hpp:55-67 — the
+    CMacIonizeSnapshot density function returns a negative density for cells
+    that are not yet at the refinement level stored in the snapshot.
+    """
+
+    max_level: int = 12
+
+    def refine(self, level, centers, volume, number_density, fractions):
+        if level >= self.max_level:
+            return np.zeros(len(centers), bool)
+        return number_density < 0.0
+
+
+def refinement_scheme_from_params(params):
+    """Build a refinement scheme from ``DensityGrid:AMRRefinementScheme``.
+
+    Mirrors /root/reference/src/AMRRefinementSchemeFactory.hpp:73-84.
+    Returns None for type "None".
+    """
+    prefix = "DensityGrid:AMRRefinementScheme"
+    stype = params.get_string(f"{prefix}:type", "None")
+    if stype == "None":
+        return None
+    if stype == "Mass":
+        return MassRefinement(
+            target_npart=params.get_number(
+                f"{prefix}:target number of particles", 1.0),
+        )
+    if stype == "Opacity":
+        return OpacityRefinement(
+            target_opacity=params.get_physical_value(
+                f"{prefix}:target opacity", "opacity", "1. m^-1"),
+            max_level=params.get_int(
+                f"{prefix}:maximum refinement level", 6),
+        )
+    if stype == "Spatial":
+        return SpatialRefinement(
+            zone_anchor=tuple(params.get_physical_vector(
+                f"{prefix}:zone anchor", "length")),
+            zone_sides=tuple(params.get_physical_vector(
+                f"{prefix}:zone sides", "length")),
+            max_level=params.get_int(
+                f"{prefix}:maximum refinement level", 4),
+        )
+    if stype == "OI":
+        return OIRefinement(
+            target_n_oi=params.get_number(
+                f"{prefix}:target number of OI particles", 1.0e5),
+            max_level=params.get_int(
+                f"{prefix}:maximum refinement level", 6),
+        )
+    if stype == "CMacIonize":
+        return CMacIonizeRefinement()
+    raise ValueError(f"unknown AMRRefinementScheme type '{stype}'")
+
+
+# ---------------------------------------------------------------------------
+# Grid construction
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AMRGrid:
+    """A constructed AMR hierarchy: compact leaves + finest-lattice owner map.
+
+    TPU-native replacement for AMRGrid/AMRGridCell
+    (/root/reference/src/AMRGrid.hpp, AMRGridCell.hpp): leaves are rows of
+    dense arrays, the tree walk is a gather through ``owner``.
+    """
+
+    geometry: GridGeometry  # coarse (level-0) geometry
+    max_level: int
+    n_cells: int  # C — number of leaves
+    levels: np.ndarray  # [C] int8 leaf level
+    centers: np.ndarray  # [C, 3] SI leaf centers
+    volumes: np.ndarray  # [C] SI leaf volumes
+    owner: np.ndarray  # finest-lattice int32 → leaf id
+    leaf_masks: tuple  # per-level bool lattices (construction record)
+
+    @property
+    def fine_shape(self) -> Tuple[int, int, int]:
+        r = 2 ** self.max_level
+        nx, ny, nz = self.geometry.shape
+        return (nx * r, ny * r, nz * r)
+
+    @property
+    def fine_cell_size(self) -> np.ndarray:
+        return self.geometry.cell_size / (2 ** self.max_level)
+
+    # -------------------------------------------------------------- expand
+    def expand(self, values: jnp.ndarray) -> jnp.ndarray:
+        """[C] leaf values → finest-lattice dense grid (one gather)."""
+        owner = jnp.asarray(self.owner)
+        return jnp.take(jnp.asarray(values), owner, axis=0)
+
+    def reduce(self, fine: jnp.ndarray) -> jnp.ndarray:
+        """Finest-lattice grid → per-leaf sums (one segment_sum)."""
+        owner = jnp.asarray(self.owner).reshape(-1)
+        return jax.ops.segment_sum(
+            jnp.asarray(fine).reshape(-1), owner, num_segments=self.n_cells
+        )
+
+    def reduce_mean(self, fine: jnp.ndarray) -> jnp.ndarray:
+        """Finest-lattice grid → per-leaf means (volume-weighted average
+        for uniform finest cells)."""
+        counts = np.bincount(
+            self.owner.reshape(-1), minlength=self.n_cells
+        ).astype(np.float32)
+        return self.reduce(fine) / jnp.asarray(counts)
+
+
+def _level_cell_centers(geometry: GridGeometry, level: int) -> np.ndarray:
+    """[n,3] centers of all cells on the level-``level`` lattice."""
+    shape = tuple(s * 2 ** level for s in geometry.shape)
+    cs = geometry.cell_size / (2 ** level)
+    axes = [
+        geometry.anchor[i] + (np.arange(shape[i]) + 0.5) * cs[i]
+        for i in range(3)
+    ]
+    grid = np.meshgrid(*axes, indexing="ij")
+    return np.stack(grid, axis=-1).reshape(-1, 3)
+
+
+def _upsample2(mask: np.ndarray) -> np.ndarray:
+    """bool [a,b,c] → [2a,2b,2c] (each parent marks its 8 children)."""
+    return np.repeat(np.repeat(np.repeat(mask, 2, 0), 2, 1), 2, 2)
+
+
+def build_amr_grid(
+    geometry: GridGeometry,
+    scheme,
+    density_fn: Callable[[np.ndarray], np.ndarray],
+    *,
+    max_level: int = 2,
+    temperature_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    fractions_fn: Optional[Callable[[np.ndarray], dict]] = None,
+) -> "AMRGrid":
+    """Recursively refine from the coarse lattice, vectorized per level.
+
+    Mirrors AMRDensityGrid's recursive refine_cell
+    (/root/reference/src/AMRDensityGrid.hpp:101-193): a refined cell's 8
+    children are re-evaluated against the criterion with densities freshly
+    sampled from the density function at the child centers.
+
+    ``density_fn(positions[N,3]) -> number_density[N]`` (SI m^-3);
+    ``fractions_fn(positions) -> {ion_name: fraction[N]}`` supplies ionic
+    fractions to criteria that need them (OI); defaults to fully neutral.
+    """
+    max_level = min(max_level, getattr(scheme, "max_level", max_level))
+    nx, ny, nz = geometry.shape
+    leaf_masks = []
+    # exists[l]: bool lattice of cells *present* at level l
+    exists = np.ones((nx, ny, nz), bool)
+    for level in range(max_level + 1):
+        shape_l = tuple(s * 2 ** level for s in geometry.shape)
+        centers = _level_cell_centers(geometry, level)
+        volume = float(np.prod(geometry.cell_size / 2 ** level))
+        nd = np.asarray(density_fn(centers), np.float64)
+        fracs = fractions_fn(centers) if fractions_fn is not None else {}
+        if scheme is not None and level < max_level:
+            flag = np.asarray(
+                scheme.refine(level, centers, volume, nd, fracs), bool
+            ).reshape(shape_l)
+        else:
+            flag = np.zeros(shape_l, bool)
+        refined = exists & flag
+        leaf_masks.append(exists & ~refined)
+        if level < max_level:
+            exists = _upsample2(refined)
+
+    # compact leaves: level-major ordering, C-order within a level
+    rf = 2 ** max_level
+    fine_shape = (nx * rf, ny * rf, nz * rf)
+    owner = np.full(fine_shape, -1, np.int32)
+    levels_list, centers_list, volumes_list = [], [], []
+    next_id = 0
+    for level, mask in enumerate(leaf_masks):
+        idx = np.argwhere(mask)
+        if len(idx) == 0:
+            continue
+        n = len(idx)
+        ids = np.arange(next_id, next_id + n, dtype=np.int32)
+        next_id += n
+        cs = geometry.cell_size / 2 ** level
+        centers_list.append(
+            np.asarray(geometry.anchor) + (idx + 0.5) * cs
+        )
+        volumes_list.append(np.full(n, float(np.prod(cs))))
+        levels_list.append(np.full(n, level, np.int8))
+        # paint the owner map: each leaf covers a (r,r,r) fine block
+        r = rf // 2 ** level
+        fx, fy, fz = idx[:, 0] * r, idx[:, 1] * r, idx[:, 2] * r
+        for ox in range(r):
+            for oy in range(r):
+                for oz in range(r):
+                    owner[fx + ox, fy + oy, fz + oz] = ids
+    assert (owner >= 0).all(), "owner map has unassigned fine cells"
+    return AMRGrid(
+        geometry=geometry,
+        max_level=max_level,
+        n_cells=next_id,
+        levels=np.concatenate(levels_list),
+        centers=np.concatenate(centers_list, axis=0),
+        volumes=np.concatenate(volumes_list),
+        owner=owner,
+        leaf_masks=tuple(leaf_masks),
+    )
+
+
+def resample_leaf_values(
+    old: AMRGrid, new: AMRGrid, values: jnp.ndarray
+) -> jnp.ndarray:
+    """Transfer intensive leaf values between two AMR hierarchies.
+
+    Old leaves → finest lattice → volume-weighted mean per new leaf (exact
+    for conservative regridding of intensive quantities when both share the
+    same coarse geometry).  Used when the grid is re-refined between MC
+    iterations (reference: AMRDensityGrid reset/refinement interval).
+    """
+    if old.fine_shape == new.fine_shape:
+        fine = old.expand(values)
+        return new.reduce_mean(fine)
+    # differing max_level: go through the finer of the two lattices
+    rf_old = 2 ** old.max_level
+    rf_new = 2 ** new.max_level
+    if rf_new > rf_old:
+        fine = old.expand(values)
+        rep = rf_new // rf_old
+        fine = jnp.repeat(jnp.repeat(jnp.repeat(fine, rep, 0), rep, 1), rep, 2)
+        return new.reduce_mean(fine)
+    fine = old.expand(values)
+    f = rf_old // rf_new
+    a, b, c = new.fine_shape
+    fine = fine.reshape(a, f, b, f, c, f).mean(axis=(1, 3, 5))
+    return new.reduce_mean(fine)
+
+
+# ---------------------------------------------------------------------------
+# Transport + ionization driver
+# ---------------------------------------------------------------------------
+
+
+def trace_amr(
+    grid: AMRGrid,
+    chi_si: jnp.ndarray,  # [C] opacity per meter per leaf
+    packets,  # PacketBatch with positions in FINEST-lattice cell units
+    *,
+    max_steps: int = 0,
+):
+    """March packets through the AMR hierarchy; return per-leaf tallies.
+
+    Tallies are Σ ℓ·w with ℓ in meters (already scaled by the finest cell
+    size), summed over each leaf's fine cells — identical to tallying per
+    leaf directly, since chi is constant within a leaf.
+    """
+    from cmacionize_tpu.ops import traversal
+
+    fine_shape = grid.fine_shape
+    dx_fine = float(grid.fine_cell_size[0])
+    chi_fine = (grid.expand(chi_si) * dx_fine).reshape(-1)
+    tally = jnp.zeros(chi_fine.shape, chi_fine.dtype)
+    block = traversal.default_block(fine_shape)
+    if block is not None:
+        tally, n_absorbed, n_escaped = traversal.trace_packets_blocked_cascade(
+            chi_fine, packets, tally,
+            shape=fine_shape, block=block,
+            periodic=grid.geometry.periodic, max_steps=max_steps,
+        )
+    else:
+        tally, pk = traversal.trace_packets(
+            chi_fine, packets, tally,
+            shape=fine_shape, periodic=grid.geometry.periodic,
+            max_steps=max_steps,
+        )
+        n_escaped = jnp.sum(~pk.absorbed)
+    leaf_tally = grid.reduce(tally) * dx_fine  # cell-units → meters
+    return leaf_tally, n_escaped
+
+
+class AMRIonizationSimulation:
+    """Hydrogen-only MC photoionization on an AMR grid.
+
+    The AMR counterpart of HOnlyIonizationSimulation: per iteration, expand
+    leaf opacity → trace on the finest lattice → reduce tallies per leaf →
+    per-leaf ionization balance on the compact [C] array.  Optionally
+    re-refines the hierarchy every ``refinement_interval`` iterations with
+    the current neutral fraction feeding the criterion (the reference
+    applies its scheme inside reset_grid on the same cadence,
+    /root/reference/src/AMRDensityGrid.hpp:204-220).
+    """
+
+    def __init__(
+        self,
+        geometry: GridGeometry,
+        scheme,
+        density_fn: Callable[[np.ndarray], np.ndarray],
+        *,
+        source_position: Tuple[float, float, float],
+        luminosity: float,
+        cross_section: float,
+        recombination_rate: float,
+        n_photons: int,
+        max_level: int = 2,
+        refinement_interval: int = 0,  # 0 → refine once at construction
+        initial_neutral_fraction: float = 1.0e-6,
+        seed: int = 42,
+    ):
+        self.geometry = geometry
+        self.scheme = scheme
+        self.density_fn = density_fn
+        self.source_position = source_position
+        self.luminosity = luminosity
+        self.cross_section = cross_section
+        self.alpha = recombination_rate
+        self.n_photons = n_photons
+        self.max_level = max_level
+        self.refinement_interval = refinement_interval
+        self.key = jax.random.PRNGKey(seed)
+
+        self.grid = build_amr_grid(
+            geometry, scheme, density_fn, max_level=max_level
+        )
+        self.number_density = jnp.asarray(
+            density_fn(self.grid.centers), jnp.float32
+        )
+        self.neutral_fraction = jnp.full(
+            self.grid.n_cells, initial_neutral_fraction, jnp.float32
+        )
+
+    def _rebuild(self):
+        """Re-refine with the current state feeding the criterion."""
+        xn_leaf = np.asarray(self.neutral_fraction)
+        old = self.grid
+
+        def fractions_fn(centers):
+            gc = (centers - np.asarray(old.geometry.anchor)) / old.fine_cell_size
+            gi = np.clip(gc.astype(np.int64), 0,
+                         np.asarray(old.fine_shape) - 1)
+            leaf = old.owner[gi[:, 0], gi[:, 1], gi[:, 2]]
+            return {"H_n": xn_leaf[leaf]}
+
+        new = build_amr_grid(
+            self.geometry, self.scheme, self.density_fn,
+            max_level=self.max_level, fractions_fn=fractions_fn,
+        )
+        self.neutral_fraction = resample_leaf_values(
+            old, new, self.neutral_fraction
+        )
+        self.grid = new
+        self.number_density = jnp.asarray(
+            self.density_fn(new.centers), jnp.float32
+        )
+
+    def run(self, n_iterations: int):
+        from cmacionize_tpu.models import sources
+        from cmacionize_tpu.ops import ionization, traversal
+
+        for it in range(n_iterations):
+            if (
+                self.refinement_interval
+                and it > 0
+                and it % self.refinement_interval == 0
+            ):
+                self._rebuild()
+            grid = self.grid
+            gpos = tuple(
+                (np.asarray(self.source_position)
+                 - np.asarray(self.geometry.anchor))
+                / grid.fine_cell_size
+            )
+            self.key, subkey = jax.random.split(self.key)
+            px, py, pz, dx, dy, dz, tau, _, w = sources.emit_point_source(
+                subkey, self.n_photons, gpos
+            )
+            packets = traversal.make_packets(
+                jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
+                tau, w, grid.fine_shape,
+            )
+            chi_si = (
+                self.number_density * self.neutral_fraction
+                * self.cross_section
+            )
+            leaf_tally, n_escaped = trace_amr(grid, chi_si, packets)
+            # folded in float64 on host: luminosity alone overflows f32
+            jfac = jnp.asarray(
+                self.luminosity * self.cross_section
+                / (self.n_photons * np.asarray(grid.volumes, np.float64)),
+                jnp.float32,
+            )
+            jH = leaf_tally * jfac
+            self.neutral_fraction = ionization.hydrogen_neutral_fraction(
+                jH, self.number_density, self.alpha
+            )
+        return self.neutral_fraction
+
+    def ionized_volume(self) -> float:
+        """∫(1 - x_n) dV over all leaves (m^3).
+
+        Host float64: astrophysical cell volumes (~1e49 m^3) overflow f32.
+        """
+        xn = np.asarray(self.neutral_fraction, np.float64)
+        return float(np.sum((1.0 - xn) * self.grid.volumes))

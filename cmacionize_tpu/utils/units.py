@@ -127,7 +127,7 @@ QUANTITY_DIMS = {
     "energy change rate": (2, 1, -3, 0, 0),
     "luminosity": (2, 1, -3, 0, 0),
     "flux": (0, 1, -3, 0, 0),
-    "opacity": (2, -1, 0, 0, 0),
+    "opacity": (-1, 0, 0, 0, 0),  # m^-1, cf. UnitConverter.hpp:214
     "angle": (0, 0, 0, 0, 0),
     "dimensionless": (0, 0, 0, 0, 0),
 }
