@@ -1,0 +1,220 @@
+"""Voronoi grid family tests.
+
+Construction (volume partition, neighbor symmetry, Lloyd regularization),
+generator distributions + factory, transport (chord conservation on a
+transparent grid, agreement with the Cartesian kernel on a regular-lattice
+tessellation), and a stromgren physics run — covering the role of
+OldVoronoiGrid/NewVoronoiGrid/VoronoiDensityGrid
+(/root/reference/src/VoronoiDensityGrid.cpp).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cmacionize_tpu.models import voronoi
+from cmacionize_tpu.models.grid import GridGeometry
+
+
+BOX = 1.0e17
+
+
+def _geom(periodic=(False, False, False), sides=(BOX, BOX, BOX)):
+    return GridGeometry((0.0, 0.0, 0.0), sides, (8, 8, 8), periodic)
+
+
+class TestConstruction:
+    def test_volumes_partition_box(self):
+        rng = np.random.default_rng(0)
+        gens = voronoi.uniform_random_generators(200, rng)
+        g = voronoi.build_voronoi_grid(_geom(), gens)
+        np.testing.assert_allclose(g.volumes.sum(), BOX ** 3, rtol=1e-10)
+
+    def test_anisotropic_box(self):
+        rng = np.random.default_rng(1)
+        gens = voronoi.uniform_random_generators(100, rng)
+        geom = _geom(sides=(BOX, BOX / 2, BOX / 4))
+        g = voronoi.build_voronoi_grid(geom, gens)
+        np.testing.assert_allclose(
+            g.volumes.sum(), BOX ** 3 / 8.0, rtol=1e-10)
+
+    def test_periodic_volumes_and_wrap_neighbors(self):
+        rng = np.random.default_rng(2)
+        gens = voronoi.uniform_random_generators(64, rng)
+        g = voronoi.build_voronoi_grid(
+            _geom(periodic=(True, True, True)), gens)
+        np.testing.assert_allclose(g.volumes.sum(), BOX ** 3, rtol=1e-10)
+        assert not (g.neighbors == -1).any()  # no walls in a periodic box
+        assert (np.linalg.norm(g.shifts, axis=-1) > 0).any()
+
+    def test_neighbor_symmetry(self):
+        rng = np.random.default_rng(3)
+        gens = voronoi.uniform_random_generators(100, rng)
+        g = voronoi.build_voronoi_grid(_geom(), gens)
+        pairs = set()
+        for i in range(g.n_cells):
+            for j in g.neighbors[i]:
+                if j >= 0:
+                    pairs.add((i, int(j)))
+        for i, j in pairs:
+            assert (j, i) in pairs
+
+    def test_regular_lattice_recovers_cartesian_cells(self):
+        gens = voronoi.uniform_regular_generators((4, 4, 4))
+        g = voronoi.build_voronoi_grid(_geom(), gens)
+        np.testing.assert_allclose(
+            g.volumes, (BOX / 4) ** 3, rtol=1e-8)
+
+    def test_lloyd_regularizes_volumes(self):
+        rng = np.random.default_rng(4)
+        gens = voronoi.uniform_random_generators(128, rng)
+        g0 = voronoi.build_voronoi_grid(_geom(), gens, num_lloyd=0)
+        g4 = voronoi.build_voronoi_grid(_geom(), gens, num_lloyd=4)
+        assert np.std(g4.volumes) < 0.5 * np.std(g0.volumes)
+        np.testing.assert_allclose(g4.volumes.sum(), BOX ** 3, rtol=1e-10)
+
+    def test_locate_is_nearest_generator(self):
+        rng = np.random.default_rng(5)
+        gens = voronoi.uniform_random_generators(50, rng)
+        g = voronoi.build_voronoi_grid(_geom(), gens)
+        query = rng.random((20, 3))
+        cells = g.locate(query)
+        d = np.linalg.norm(query[:, None] - g.generators[None], axis=-1)
+        np.testing.assert_array_equal(cells, d.argmin(axis=1))
+
+
+class TestGenerators:
+    def test_factory_type_strings(self, tmp_path):
+        from cmacionize_tpu.utils.params import ParameterFile
+
+        rng = np.random.default_rng(0)
+        for gtype, extra, expected_n in [
+            ("UniformRandom", "number of positions: 123", 123),
+            ("UniformRegular", "number of cells: [3, 3, 3]", 27),
+            ("PerturbedCartesian", "number of cells: [3, 3, 3]", 27),
+        ]:
+            yml = tmp_path / f"{gtype}.yml"
+            yml.write_text(
+                "DensityGrid:\n  VoronoiGeneratorDistribution:\n"
+                f"    type: {gtype}\n    {extra}\n")
+            gens = voronoi.generators_from_params(
+                ParameterFile(str(yml)), rng)
+            assert gens.shape == (expected_n, 3)
+            assert ((gens >= 0) & (gens <= 1)).all()
+
+    def test_perturbed_cartesian_stays_near_lattice(self):
+        rng = np.random.default_rng(1)
+        gens = voronoi.perturbed_cartesian_generators((4, 4, 4), 0.1, rng)
+        ref = voronoi.uniform_regular_generators((4, 4, 4))
+        assert np.abs(gens - ref).max() <= 0.1 / 4 + 1e-12
+
+
+class TestTransport:
+    def test_transparent_grid_conserves_chords(self):
+        """Σ per-cell tallies == analytic chord length to the wall."""
+        rng = np.random.default_rng(6)
+        gens = voronoi.uniform_random_generators(150, rng)
+        g = voronoi.build_voronoi_grid(_geom(), gens)
+        chi = jnp.full(g.n_cells, 1e-30, jnp.float32)
+
+        P = 128
+        d = rng.normal(size=(P, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        p0 = np.full((P, 3), 0.5)
+        packets = voronoi.make_voronoi_packets(
+            g, p0, d, np.full(P, 1e30), np.ones(P))
+        tally, pk = voronoi.trace_packets_voronoi(g, chi, packets)
+        assert not np.asarray(pk.active).any()
+        assert not np.asarray(pk.absorbed).any()
+
+        t = np.full(P, np.inf)
+        for ax in range(3):
+            with np.errstate(divide="ignore"):
+                t_ax = np.where(
+                    d[:, ax] > 0, (1.0 - p0[:, ax]) / d[:, ax],
+                    np.where(d[:, ax] < 0, -p0[:, ax] / d[:, ax], np.inf))
+            t = np.minimum(t, t_ax)
+        np.testing.assert_allclose(
+            float(jnp.sum(tally)), t.sum() * BOX, rtol=5e-4)
+
+    def test_matches_cartesian_kernel_on_lattice(self):
+        """Regular-lattice Voronoi == Cartesian grid: same tallies."""
+        from cmacionize_tpu.ops import traversal
+
+        nside = 4
+        gens = voronoi.uniform_regular_generators((nside,) * 3)
+        g = voronoi.build_voronoi_grid(_geom(), gens)
+        rng = np.random.default_rng(7)
+        P = 64
+        d = rng.normal(size=(P, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        p0 = np.full((P, 3), 0.5) + (rng.random((P, 3)) - 0.5) * 0.1
+        tau = rng.random(P).astype(np.float32) * 3.0
+
+        chi_si = np.full(g.n_cells, 2.0 * nside / BOX, np.float32)
+        packets = voronoi.make_voronoi_packets(g, p0, d, tau, np.ones(P))
+        tally_v, pk_v = voronoi.trace_packets_voronoi(g, chi_si, packets)
+
+        # Cartesian: positions in cell units of the n^3 lattice
+        shape = (nside,) * 3
+        pc = traversal.make_packets(
+            jnp.asarray(p0 * nside, jnp.float32), jnp.asarray(d, jnp.float32),
+            jnp.asarray(tau), jnp.ones(P, jnp.float32), shape)
+        dx = BOX / nside
+        chi_cell = jnp.asarray(chi_si * dx)
+        tally_c = jnp.zeros(nside ** 3, jnp.float32)
+        tally_c, pk_c = traversal.trace_packets(
+            chi_cell, pc, tally_c, shape=shape,
+            periodic=(False, False, False))
+
+        # Voronoi cells are ordered as the C-order lattice here
+        np.testing.assert_allclose(
+            np.asarray(tally_v), np.asarray(tally_c) * dx,
+            rtol=2e-3, atol=1e-4 * BOX / nside)
+        np.testing.assert_array_equal(
+            np.asarray(pk_v.absorbed), np.asarray(pk_c.absorbed))
+
+    def test_periodic_wrap_traversal(self):
+        """A packet in a periodic box keeps travelling past the wall."""
+        gens = voronoi.uniform_regular_generators((4, 4, 4))
+        g = voronoi.build_voronoi_grid(
+            _geom(periodic=(True, True, True)), gens)
+        chi = jnp.full(g.n_cells, 1e-30, jnp.float32)
+        d = np.array([[1.0, 0.0, 0.0]])
+        packets = voronoi.make_voronoi_packets(
+            g, np.array([[0.51, 0.51, 0.51]]), d,
+            np.array([1e30]), np.ones(1))
+        tally, pk = voronoi.trace_packets_voronoi(
+            g, chi, packets, max_steps=37)
+        # still active after 37 wrap crossings, path length ~= 37 quarter-boxes
+        assert bool(np.asarray(pk.active)[0])
+        np.testing.assert_allclose(
+            float(jnp.sum(tally)), 37 * 0.25 * BOX, rtol=1e-2)
+
+
+class TestPhysics:
+    def test_stromgren_on_voronoi(self):
+        nH = 1.0e8
+        sigma = 6.3e-22
+        alpha = 2.7e-19
+        L = 1.0e48
+        r_s = (3.0 * L / (4.0 * np.pi * alpha * nH * nH)) ** (1.0 / 3.0)
+        box = 6.0 * r_s
+        geom = GridGeometry((0.0, 0.0, 0.0), (box, box, box), (8, 8, 8))
+        rng = np.random.default_rng(8)
+        gens = voronoi.uniform_random_generators(6000, rng)
+        grid = voronoi.build_voronoi_grid(geom, gens, num_lloyd=2)
+        sim = voronoi.HOnlyVoronoiSimulation(
+            grid, lambda p: np.full(len(p), nH),
+            source_position=(box / 2, box / 2, box / 2),
+            luminosity=L, cross_section=sigma, recombination_rate=alpha,
+            n_photons=1 << 15, seed=9)
+        sim.run(12)
+        v_exact = 4.0 / 3.0 * np.pi * r_s ** 3
+        err = abs(sim.ionized_volume() - v_exact) / v_exact
+        # measured: +0.32 at 2000 cells, +0.20 at 6000 — the same
+        # resolution-limited overshoot the 8^3 Cartesian grid shows (+0.50);
+        # transport exactness is pinned by the lattice-match test above
+        assert err < 0.3
