@@ -49,7 +49,7 @@ class MultiFreqConfig:
     initial_temperature: float
     source_position: Tuple[float, float, float]
     luminosity: float
-    spectrum_type: str  # "planck" | "monochromatic"
+    spectrum_type: str  # "planck" | "monochromatic" | tabulated family
     spectrum_temperature: float  # for planck
     spectrum_frequency: float  # for monochromatic
     n_photons: int
@@ -63,6 +63,11 @@ class MultiFreqConfig:
     pahfac: float = 0.0
     crfac: float = 0.0
     initial_neutral_fraction: float = 1.0e-6
+    # (frequencies, cdf) arrays for the tabulated atmosphere families
+    # (WMBasic/CastelliKurucz/Pegase3/PopStar, cf.
+    # /root/reference/src/PhotonSourceSpectrumFactory.hpp:99-112) — built by
+    # from_params via cmacionize_tpu.models.atmosphere_spectra
+    spectrum_table: Optional[Tuple] = None
 
     @classmethod
     def from_params(cls, params) -> "MultiFreqConfig":
@@ -70,6 +75,16 @@ class MultiFreqConfig:
         spectrum_type = params.get_string(
             "PhotonSourceSpectrum:type", "Planck"
         ).lower()
+        spectrum_table = None
+        if spectrum_type in (
+            "wmbasic", "castellikurucz", "pegase3", "popstar"
+        ):
+            from cmacionize_tpu.models.atmosphere_spectra import (
+                atmosphere_spectrum_from_params,
+            )
+
+            tab = atmosphere_spectrum_from_params(params)
+            spectrum_table = (tab.frequencies, tab.cdf)
         abund = dict(ions.DEFAULT_ABUNDANCES)
         for element in abund:
             for key in (f"Abundances:{element}", f"AbundanceModel:{element}"):
@@ -115,6 +130,7 @@ class MultiFreqConfig:
             crfac=params.get_number(
                 "TemperatureCalculator:cosmic ray heating factor", 0.0
             ),
+            spectrum_table=spectrum_table,
         )
 
 
@@ -164,7 +180,13 @@ class MultiFreqIonizationSimulation:
         self.heating_weights = heating
 
         # source spectrum sampled as a distribution over bins
-        if config.spectrum_type.startswith("mono"):
+        if config.spectrum_table is not None:
+            # tabulated atmosphere spectrum: per-bin weight = CDF increment
+            # across the bin (exact for the tabulated distribution)
+            t_nu, t_cdf = config.spectrum_table
+            edge_cdf = np.interp(self.bin_edges, t_nu, t_cdf)
+            pdf = np.maximum(np.diff(edge_cdf), 0.0)
+        elif config.spectrum_type.startswith("mono"):
             pdf = np.zeros(config.n_bins)
             idx = np.clip(
                 np.searchsorted(self.bin_edges, config.spectrum_frequency) - 1,
