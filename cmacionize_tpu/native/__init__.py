@@ -52,6 +52,18 @@ def load():
     lib.deposit_m_over_v.argtypes = [d, d, ctypes.c_int64, d, d, i, d]
     lib.deposit_sph_kernel.argtypes = [d, d, d, ctypes.c_int64, d, d, i, d]
     lib.sample_grid.argtypes = [d, i, d, d, d, ctypes.c_int64, d]
+    lib.petkova_box_fraction.restype = ctypes.c_double
+    lib.petkova_box_fraction.argtypes = [d, ctypes.c_double, d, d]
+    lib.petkova_deposit.argtypes = [
+        d, d, d, ctypes.c_int64, d, d, i, ctypes.c_int, d]
+    lib.octree_create.restype = ctypes.c_void_p
+    lib.octree_create.argtypes = [d, ctypes.c_int64]
+    lib.octree_radius.restype = ctypes.c_int64
+    lib.octree_radius.argtypes = [
+        ctypes.c_void_p, d, ctypes.c_double, i, ctypes.c_int64]
+    lib.octree_knn.restype = ctypes.c_int64
+    lib.octree_knn.argtypes = [ctypes.c_void_p, d, ctypes.c_int64, i, d]
+    lib.octree_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -114,3 +126,87 @@ def sample_grid(grid, anchor, sides, positions):
         _ptr(positions), len(positions), _ptr(out),
     )
     return out
+
+
+def petkova_box_fraction(position, h, lo, hi):
+    """Exact mass fraction of a cubic-spline kernel inside one box."""
+    lib = load()
+    if lib is None:
+        return None
+    position = np.ascontiguousarray(position, np.float64)
+    lo = np.ascontiguousarray(lo, np.float64)
+    hi = np.ascontiguousarray(hi, np.float64)
+    return lib.petkova_box_fraction(_ptr(position), float(h), _ptr(lo),
+                                    _ptr(hi))
+
+
+def petkova_deposit(positions, masses, smoothing_lengths, anchor, sides,
+                    dims, normalize=True):
+    """Petkova et al. (2018) exact mass-conserving SPH->grid density map.
+
+    Native equivalent of the reference's SPHARRAY_MAPPING_PETKOVA
+    (/root/reference/src/SPHArrayInterface.cpp:739-930).  Returns the
+    density grid, or None if the native library is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, np.float64)
+    masses = np.ascontiguousarray(masses, np.float64)
+    smoothing_lengths = np.ascontiguousarray(smoothing_lengths, np.float64)
+    anchor = np.ascontiguousarray(anchor, np.float64)
+    sides = np.ascontiguousarray(sides, np.float64)
+    dims = np.ascontiguousarray(dims, np.int64)
+    grid = np.zeros(int(dims.prod()), np.float64)
+    lib.petkova_deposit(
+        _ptr(positions), _ptr(masses), _ptr(smoothing_lengths), len(masses),
+        _ptr(anchor), _ptr(sides), _iptr(dims), int(bool(normalize)),
+        _ptr(grid),
+    )
+    return grid.reshape(tuple(dims))
+
+
+class Octree:
+    """Octree point locator over particle positions.
+
+    Native counterpart of Octree.hpp / PointLocations.hpp: sphere queries
+    (``get_ngbs_sphere``) and k-nearest-neighbor searches behind the SPH
+    interface.  Raises RuntimeError if the native library is unavailable.
+    """
+
+    def __init__(self, positions):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; build with "
+                               "cmacionize_tpu.native.build()")
+        self._lib = lib
+        self._positions = np.ascontiguousarray(positions, np.float64)
+        self._n = len(self._positions)
+        self._handle = lib.octree_create(_ptr(self._positions), self._n)
+
+    def radius_neighbors(self, center, radius):
+        """Indices of all points within ``radius`` of ``center``."""
+        center = np.ascontiguousarray(center, np.float64)
+        cap = max(64, self._n // 8)
+        while True:
+            out = np.empty(cap, np.int64)
+            count = self._lib.octree_radius(
+                self._handle, _ptr(center), float(radius), _iptr(out), cap)
+            if count <= cap:
+                return out[:count]
+            cap = int(count)
+
+    def knn(self, center, k):
+        """(indices, distances) of the k nearest points, ascending."""
+        center = np.ascontiguousarray(center, np.float64)
+        k = min(int(k), self._n)
+        idx = np.empty(k, np.int64)
+        dist = np.empty(k, np.float64)
+        m = self._lib.octree_knn(
+            self._handle, _ptr(center), k, _iptr(idx), _ptr(dist))
+        return idx[:m], dist[:m]
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.octree_free(self._handle)
+            self._handle = None
