@@ -197,6 +197,9 @@ def _run_rhd(params, log, seed):
         radiative_cooling=params.get_bool(
             "HydroIntegrator:radiative cooling", False
         ),
+        riemann_solver=params.get_string(
+            "HydroIntegrator:riemann solver type", "HLLC"
+        ),
     )
     sim = RHDSimulation(config, log=log, seed=seed)
     state, xh = sim.run()
@@ -354,7 +357,8 @@ def main(argv=None):
         parser.error("--params is required for this mode")
     params = ParameterFile(args.params) if args.params else ParameterFile(None)
     if args.params:
-        log.status(f"loaded parameter file {args.params}")
+        log.status(f"loaded parameter file {args.params} "
+                   f"(md5: {params.checksum})")
 
     t0 = time.time()
     if args.dry:

@@ -156,7 +156,7 @@ class HOnlyIonizationSimulation:
         )
 
     def run(self, n_iterations: Optional[int] = None, adaptive: bool = False,
-            restart_manager=None):
+            restart_manager=None, diagnostics=None):
         """Run MC iterations.
 
         adaptive=True uses the width-compacting traversal (one host sync +
@@ -210,6 +210,14 @@ class HOnlyIonizationSimulation:
                 f"iteration {iteration + 1}/{n_iterations}: "
                 f"{int(n_escaped)} / {cfg.n_photons} photons escaped"
             )
+            if diagnostics is not None:
+                # per-iteration perf counters, the diagnostics_XX.txt
+                # equivalent (TaskBasedIonizationSimulation.cpp:969-1035)
+                diagnostics.count("photons emitted", cfg.n_photons)
+                diagnostics.count("photons escaped", int(n_escaped))
+                diagnostics.count(
+                    "photons absorbed", cfg.n_photons - int(n_escaped))
+                diagnostics.end_iteration()
             if restart_manager is not None:
                 stopping = (
                     signals.stop_requested() or restart_manager.want_stop()

@@ -416,11 +416,20 @@ class MultiFreqIonizationSimulation:
             T = jnp.where(vacuum, 500.0, T)
         return T, xion, j
 
-    def run(self, n_iterations: Optional[int] = None, restart_manager=None):
+    def run(self, n_iterations: Optional[int] = None, restart_manager=None,
+            diagnostics=None):
         """``restart_manager``: optional io.restart.RestartManager —
         checkpoint on cadence / SIGINT / max-walltime; ``n_iterations``
         counts total iterations including restored ones, so kill-and-resume
-        reproduces the uninterrupted run bit for bit."""
+        reproduces the uninterrupted run bit for bit.
+
+        ``diagnostics``: optional utils.diagnostics.IterationDiagnostics —
+        per-iteration counter/phase-timing dumps (diagnostics_XX.txt)."""
+        import contextlib
+
+        def _phase(name):
+            return (diagnostics.phase(name) if diagnostics is not None
+                    else contextlib.nullcontext())
         from cmacionize_tpu.utils import signals
 
         cfg = self.config
@@ -442,13 +451,20 @@ class MultiFreqIonizationSimulation:
                 jax.device_get(jnp.clip(self.xion["He_n"], 0.0, 1.0)), device
             )
             T_dev = jax.device_put(jax.device_get(self.temperature), device)
-            integrals, tally2d = shoot(subkey, xH, xHe, T_dev)
+            with _phase("trace"):
+                integrals, tally2d = shoot(subkey, xH, xHe, T_dev)
             if self.tracker_manager is not None:
                 self.tracker_manager.accumulate(tally2d)
             do_temp = cfg.do_temperature and loop >= cfg.minimum_iteration_number
-            self.temperature, self.xion, self.j_fields = self._solve_state(
-                integrals, do_temp
-            )
+            with _phase("solve"):
+                self.temperature, self.xion, self.j_fields = self._solve_state(
+                    integrals, do_temp
+                )
+            if diagnostics is not None:
+                diagnostics.count("photons emitted", cfg.n_photons)
+                diagnostics.count(
+                    "reemission rounds", cfg.n_reemission_rounds)
+                diagnostics.end_iteration()
             self.iteration += 1
             self.log.info(
                 f"iteration {loop + 1}/{n_iterations}: "

@@ -67,6 +67,9 @@ class RHDConfig:
     radiative_heating: bool = True
     radiative_cooling: bool = False
     initial_neutral_fraction: float = 1.0
+    # "HLLC" or "Exact" — parameter-file selectable flux solver, mirroring
+    # /root/reference/src/RiemannSolverFactory.hpp:54-57
+    riemann_solver: str = "HLLC"
 
 
 class RHDSimulation:
@@ -193,6 +196,7 @@ class RHDSimulation:
             boundaries=cfg.boundaries,
             cell_size=(self.dx,) * 3,
             gamma=cfg.gamma,
+            riemann_solver=cfg.riemann_solver,
         )
         return u, neutral_fraction
 

@@ -299,13 +299,18 @@ _VEL_PERM = {
 }
 
 
-def _face_flux(left: Primitives, right: Primitives, axis: int, gamma: float):
-    """HLLC flux at the faces along `axis`, rotated back to (x,y,z) order.
+def _face_flux(left: Primitives, right: Primitives, axis: int, gamma: float,
+               solver: str = "HLLC"):
+    """Interface flux at the faces along `axis`, rotated back to (x,y,z)
+    order.  ``solver`` selects HLLC or the exact Riemann solver, like the
+    reference's RiemannSolverFactory
+    (/root/reference/src/RiemannSolverFactory.hpp:54-57).
 
     Returns a 5-tuple (mass, mom_x, mom_y, mom_z, energy) flux arrays.
     """
     n, t1, t2 = _VEL_PERM[axis]
-    flux = riemann.hllc_flux(
+    flux_fn = {"HLLC": riemann.hllc_flux, "Exact": riemann.exact_flux}[solver]
+    flux = flux_fn(
         left[0], left[n], left[t1], left[t2], left[4],
         right[0], right[n], right[t1], right[t2], right[4],
         gamma=gamma,
@@ -319,7 +324,7 @@ def _face_flux(left: Primitives, right: Primitives, axis: int, gamma: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("boundaries", "cell_size", "gamma"),
+    static_argnames=("boundaries", "cell_size", "gamma", "riemann_solver"),
 )
 def hydro_step(
     u: HydroState,
@@ -328,6 +333,7 @@ def hydro_step(
     boundaries,
     cell_size: Tuple[float, float, float],
     gamma: float = GAMMA_DEFAULT,
+    riemann_solver: str = "HLLC",
     gravity=None,
     inflow_states: Optional[dict] = None,
 ) -> HydroState:
@@ -339,7 +345,8 @@ def hydro_step(
     w = primitives_from_conserved(u, gamma)
     wp = pad_primitives(w, boundaries, n=2, inflow_states=inflow_states)
     return hydro_step_padded(
-        u, wp, dt, cell_size=cell_size, gamma=gamma, gravity=gravity
+        u, wp, dt, cell_size=cell_size, gamma=gamma, gravity=gravity,
+        riemann_solver=riemann_solver,
     )
 
 
@@ -351,6 +358,7 @@ def hydro_step_padded(
     cell_size: Tuple[int, int, int],
     gamma: float = GAMMA_DEFAULT,
     gravity=None,
+    riemann_solver: str = "HLLC",
 ) -> HydroState:
     """MUSCL-Hancock update from pre-padded primitives (2 ghosts per side).
 
@@ -368,7 +376,7 @@ def hydro_step_padded(
     new_fields = list(u)
     for axis in range(3):
         left, right = _axis_faces(w_pred, grads[axis], axis)
-        fluxes = _face_flux(left, right, axis, gamma)
+        fluxes = _face_flux(left, right, axis, gamma, riemann_solver)
         inv_dx = 1.0 / float(cell_size[axis])
         for i in range(5):
             f = fluxes[i]

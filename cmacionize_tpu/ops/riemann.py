@@ -271,3 +271,94 @@ def exact_sample(rhoL, uL, pL, rhoR, uR, pR, s, gamma=5.0 / 3.0, n_iter=40):
         jnp.where(on_left, uLs, uRs),
         jnp.where(on_left, pLs, pRs),
     )
+
+
+def exact_flux(
+    rhoL, uL, vL, wL, pL, rhoR, uR, vR, wR, pR,
+    gamma=5.0 / 3.0, n_iter=20,
+) -> FaceFlux:
+    """Exact Riemann interface flux with full vacuum handling.
+
+    Production counterpart of hllc_flux, selectable through the parameter
+    file like the reference's RiemannSolverFactory
+    (/root/reference/src/RiemannSolverFactory.hpp:54-57): the exact solution
+    is sampled at s = x/t = 0 and converted to the physical flux.  The four
+    vacuum branches of ExactRiemannSolver.hpp:866 are folded in as masks:
+    vacuum left/right states, vacuum generation when
+    2(a_L + a_R)/(γ-1) ≤ u_R - u_L, and the trivial both-vacuum case.
+    Tangential velocities are upwinded by the sign of the sampled normal
+    velocity at the interface.
+    """
+    tiny = 1e-40
+    vac_L = rhoL <= tiny
+    vac_R = rhoR <= tiny
+    rhoL_s = jnp.where(vac_L, 1.0, rhoL)
+    pL_s = jnp.where(vac_L, 1.0, jnp.maximum(pL, tiny))
+    rhoR_s = jnp.where(vac_R, 1.0, rhoR)
+    pR_s = jnp.where(vac_R, 1.0, jnp.maximum(pR, tiny))
+    aL = jnp.sqrt(gamma * pL_s / rhoL_s)
+    aR = jnp.sqrt(gamma * pR_s / rhoR_s)
+    gm1 = gamma - 1.0
+
+    # vacuum generation: the two rarefactions separate completely
+    vac_gen = (~vac_L) & (~vac_R) & (
+        2.0 * (aL + aR) / gm1 <= uR - uL)
+
+    # --- regular exact solution sampled at s = 0 -------------------------
+    rho0, u0, p0 = exact_sample(
+        rhoL_s, uL, pL_s, rhoR_s, uR, pR_s, jnp.zeros_like(rhoL_s),
+        gamma=gamma, n_iter=n_iter)
+
+    # --- one-sided rarefaction into vacuum (Toro §4.6) -------------------
+    def _left_into_vacuum():
+        # right state is vacuum: head uL - aL, vacuum front uL + 2aL/(γ-1)
+        shl = uL - aL
+        svl = uL + 2.0 * aL / gm1
+        fan_a = jnp.maximum(2.0 / (gamma + 1.0) * (aL + 0.5 * gm1 * uL), 0.0)
+        fan_u = 2.0 / (gamma + 1.0) * (aL + 0.5 * gm1 * uL)
+        fan_rho = rhoL_s * (fan_a / aL) ** (2.0 / gm1)
+        fan_p = pL_s * (fan_a / aL) ** (2.0 * gamma / gm1)
+        rho = jnp.where(shl >= 0.0, rhoL_s, jnp.where(svl <= 0.0, 0.0, fan_rho))
+        u = jnp.where(shl >= 0.0, uL, jnp.where(svl <= 0.0, 0.0, fan_u))
+        p = jnp.where(shl >= 0.0, pL_s, jnp.where(svl <= 0.0, 0.0, fan_p))
+        return rho, u, p
+
+    def _right_into_vacuum():
+        shr = uR + aR
+        svr = uR - 2.0 * aR / gm1
+        fan_a = jnp.maximum(2.0 / (gamma + 1.0) * (aR - 0.5 * gm1 * uR), 0.0)
+        fan_u = 2.0 / (gamma + 1.0) * (-aR + 0.5 * gm1 * uR)
+        fan_rho = rhoR_s * (fan_a / aR) ** (2.0 / gm1)
+        fan_p = pR_s * (fan_a / aR) ** (2.0 * gamma / gm1)
+        rho = jnp.where(shr <= 0.0, rhoR_s, jnp.where(svr >= 0.0, 0.0, fan_rho))
+        u = jnp.where(shr <= 0.0, uR, jnp.where(svr >= 0.0, 0.0, fan_u))
+        p = jnp.where(shr <= 0.0, pR_s, jnp.where(svr >= 0.0, 0.0, fan_p))
+        return rho, u, p
+
+    rho_lv, u_lv, p_lv = _left_into_vacuum()
+    rho_rv, u_rv, p_rv = _right_into_vacuum()
+
+    # vacuum generation: left fan for s < vacuum front, right fan beyond
+    svl = uL + 2.0 * aL / gm1
+    rho_vg = jnp.where(svl >= 0.0, rho_lv, rho_rv)
+    u_vg = jnp.where(svl >= 0.0, u_lv, u_rv)
+    p_vg = jnp.where(svl >= 0.0, p_lv, p_rv)
+
+    rho = jnp.where(
+        vac_L & vac_R, 0.0,
+        jnp.where(vac_R, rho_lv,
+                  jnp.where(vac_L, rho_rv,
+                            jnp.where(vac_gen, rho_vg, rho0))))
+    u = jnp.where(
+        vac_L & vac_R, 0.0,
+        jnp.where(vac_R, u_lv,
+                  jnp.where(vac_L, u_rv, jnp.where(vac_gen, u_vg, u0))))
+    p = jnp.where(
+        vac_L & vac_R, 0.0,
+        jnp.where(vac_R, p_lv,
+                  jnp.where(vac_L, p_rv, jnp.where(vac_gen, p_vg, p0))))
+
+    # tangential velocities ride the contact: upwind by the interface u
+    v = jnp.where(u > 0.0, vL, vR)
+    w = jnp.where(u > 0.0, wL, wR)
+    return _physical_flux(rho, u, v, w, p, gamma)

@@ -50,6 +50,7 @@ class ParameterFile:
     """Typed, unit-aware access to a YAML parameter tree."""
 
     def __init__(self, source: Union[str, dict, None] = None):
+        self.checksum = None
         if source is None:
             self._tree: dict = {}
             self.filename = None
@@ -59,7 +60,13 @@ class ParameterFile:
         else:
             self.filename = source
             with open(source, "r") as handle:
-                self._tree = yaml.safe_load(handle) or {}
+                raw = handle.read()
+            self._tree = yaml.safe_load(raw) or {}
+            # input provenance: the reference logs an MD5 checksum of every
+            # parameter file it reads (ParameterFile.hpp:179, MD5Sum.hpp)
+            import hashlib
+
+            self.checksum = hashlib.md5(raw.encode()).hexdigest()
         # path -> value actually used (after defaults), for the used-values dump
         self._used: dict = {}
 

@@ -454,3 +454,77 @@ def test_restart_manager_walltime_stop(tmp_path):
     manager.on_stop()
     manager.on_stop()  # idempotent
     assert marker.exists()
+
+
+class TestDiagnostics:
+    """Per-iteration diagnostics dumps (diagnostics_XX.txt equivalent,
+    cf. TaskBasedIonizationSimulation.cpp:969-1035)."""
+
+    def test_counters_phases_and_dump(self, tmp_path):
+        import time
+
+        from cmacionize_tpu.utils.diagnostics import IterationDiagnostics
+
+        diag = IterationDiagnostics(folder=str(tmp_path))
+        diag.count("photons emitted", 1000)
+        diag.count("photons emitted", 500)
+        with diag.phase("trace"):
+            time.sleep(0.01)
+        diag.record_superstep(10, 20)
+        rec = diag.end_iteration()
+        assert rec["counters"]["photons emitted"] == 1500
+        assert rec["counters"]["packets exchanged"] == 30
+        assert rec["phase_s"]["trace"] >= 0.01
+        text = (tmp_path / "diagnostics_00.txt").read_text()
+        assert "photons emitted: 1500" in text
+        assert "trace:" in text
+        # next iteration starts clean
+        diag.count("photons emitted", 1)
+        rec2 = diag.end_iteration()
+        assert rec2["counters"]["photons emitted"] == 1
+        assert (tmp_path / "diagnostics_01.txt").exists()
+
+    def test_driver_integration(self, tmp_path):
+        import numpy as np
+
+        from cmacionize_tpu.models.grid import GridGeometry
+        from cmacionize_tpu.models.ionization_simulation import (
+            HOnlyConfig,
+            HOnlyIonizationSimulation,
+        )
+        from cmacionize_tpu.utils.diagnostics import IterationDiagnostics
+
+        box = 1.0e17
+        config = HOnlyConfig(
+            geometry=GridGeometry((0, 0, 0), (box,) * 3, (8, 8, 8)),
+            number_density=1e8, temperature=8000.0,
+            source_position=(box / 2,) * 3, luminosity=1e48,
+            cross_section=6.3e-22, recombination_rate=2.7e-19,
+            n_photons=1000, n_iterations=2,
+        )
+        diag = IterationDiagnostics(folder=str(tmp_path))
+        HOnlyIonizationSimulation(config, seed=1).run(diagnostics=diag)
+        assert len(diag.history) == 2
+        c = diag.history[0]["counters"]
+        assert c["photons emitted"] == 1000
+        assert (c["photons absorbed"] + c["photons escaped"]) == 1000
+        assert (tmp_path / "diagnostics_01.txt").exists()
+
+
+class TestParameterChecksum:
+    def test_md5_matches_hashlib(self, tmp_path):
+        import hashlib
+
+        from cmacionize_tpu.utils.params import ParameterFile
+
+        yml = tmp_path / "p.yml"
+        yml.write_text("SimulationBox:\n  periodicity: [false, false, false]\n")
+        params = ParameterFile(str(yml))
+        expect = hashlib.md5(yml.read_bytes()).hexdigest()
+        assert params.checksum == expect
+
+    def test_no_file_no_checksum(self):
+        from cmacionize_tpu.utils.params import ParameterFile
+
+        assert ParameterFile(None).checksum is None
+        assert ParameterFile({"a": 1}).checksum is None

@@ -60,7 +60,7 @@ def test_hllc_symmetry():
     assert float(f1.energy) == pytest.approx(-float(f2.energy), rel=1e-5, abs=1e-8)
 
 
-def _run_sod(n=128, t_end=0.2):
+def _run_sod(n=128, t_end=0.2, riemann_solver="HLLC"):
     shape = (n, 4, 4)
     dx = 1.0 / n
     x = (np.arange(n) + 0.5) * dx
@@ -85,7 +85,8 @@ def _run_sod(n=128, t_end=0.2):
         dt = min(float(hydro.cfl_timestep(u, cell_size, cfl=0.4, gamma=GAMMA)),
                  t_end - t)
         u = hydro.hydro_step(
-            u, dt, boundaries=boundaries, cell_size=cell_size, gamma=GAMMA
+            u, dt, boundaries=boundaries, cell_size=cell_size, gamma=GAMMA,
+            riemann_solver=riemann_solver,
         )
         t += dt
     return x, u
@@ -145,3 +146,60 @@ def test_bondi_profile_held():
     sel = (r > 15 * AU) & (r < 45 * AU)
     rel = np.abs(rho[sel] / rho0[sel] - 1)
     assert np.median(rel) < 0.08, np.median(rel)
+
+
+def test_sod_tube_exact_solver_production():
+    """The exact solver is a selectable production flux
+    (RiemannSolverFactory.hpp:54-57), not just a validation oracle."""
+    x, u = _run_sod(riemann_solver="Exact")
+    w = hydro.primitives_from_conserved(u, GAMMA)
+    rho_num = np.asarray(w.rho[:, 2, 2])
+    s = jnp.asarray((x - 0.5) / 0.2, jnp.float32)
+    rho_ex, _, _ = riemann.exact_sample(
+        jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(1.0),
+        jnp.asarray(0.125), jnp.asarray(0.0), jnp.asarray(0.1),
+        s, gamma=GAMMA,
+    )
+    l1 = np.abs(rho_num - np.asarray(rho_ex)).mean()
+    assert l1 < 0.012, f"Sod(Exact) L1 density error too large: {l1}"
+
+
+def test_exact_flux_matches_hllc_on_smooth_states():
+    rng = np.random.default_rng(0)
+    n = 256
+    rho = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    u = jnp.asarray(rng.uniform(-0.1, 0.1, n), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.1, 0.1, n), jnp.float32)
+    w_ = jnp.asarray(rng.uniform(-0.1, 0.1, n), jnp.float32)
+    p = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    fe = riemann.exact_flux(rho, u, v, w_, p, rho, u, v, w_, p, gamma=GAMMA)
+    fh = riemann.hllc_flux(rho, u, v, w_, p, rho, u, v, w_, p, gamma=GAMMA)
+    # identical left/right states: both must return the physical flux
+    np.testing.assert_allclose(np.asarray(fe.mass), np.asarray(fh.mass),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fe.energy), np.asarray(fh.energy),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_exact_flux_vacuum_branches_finite():
+    """Vacuum left/right/generation cases produce finite fluxes
+    (ExactRiemannSolver.hpp:866 vacuum handling)."""
+    z = jnp.zeros(1)
+    one = jnp.ones(1)
+    # right vacuum
+    f = riemann.exact_flux(one, z, z, z, one, z * 0.0, z, z, z, z)
+    assert np.isfinite(np.asarray(f)).all()
+    assert float(f.mass[0]) > 0.0  # gas expands into the vacuum
+    # left vacuum
+    f = riemann.exact_flux(z * 0.0, z, z, z, z, one, z, z, z, one)
+    assert np.isfinite(np.asarray(f)).all()
+    assert float(f.mass[0]) < 0.0
+    # both vacuum
+    f = riemann.exact_flux(z, z, z, z, z, z, z, z, z, z)
+    np.testing.assert_array_equal(np.asarray(f), 0.0)
+    # vacuum generation: strongly receding flows
+    f = riemann.exact_flux(
+        one, -10.0 * one, z, z, 0.01 * one,
+        one, 10.0 * one, z, z, 0.01 * one)
+    assert np.isfinite(np.asarray(f)).all()
+    np.testing.assert_allclose(np.asarray(f.mass), 0.0, atol=1e-6)
