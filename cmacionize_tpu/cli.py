@@ -42,7 +42,17 @@ def _write_snapshot(params, geometry, fields, time_value, log):
 
 
 def _run_ionization(params, log, seed):
-    """Photoionization post-processing (classic / task-based modes)."""
+    """Photoionization post-processing (classic / task-based modes).
+
+    ``DensityGrid:type`` dispatches over the grid families like the
+    reference's DensityGridFactory
+    (/root/reference/src/DensityGridFactory.hpp:73-77): Cartesian (default),
+    AMR, Voronoi.  The AMR/Voronoi paths run the H-only driver on their
+    respective grids.
+    """
+    grid_type = params.get_string("DensityGrid:type", "Cartesian")
+    if grid_type in ("AMR", "Voronoi"):
+        return _run_ionization_special_grid(params, log, seed, grid_type)
     multi_element = (
         params.get_bool("TemperatureCalculator:do temperature calculation", False)
         or params.get_bool("IonizationSimulation:diffuse field", False)
@@ -98,6 +108,63 @@ def _run_ionization(params, log, seed):
             "NeutralFractionH": np.asarray(xh),
         }
     _write_snapshot(params, config.geometry, fields, 0.0, log)
+
+
+def _run_ionization_special_grid(params, log, seed, grid_type):
+    """H-only photoionization on an AMR or Voronoi grid."""
+    import numpy as np
+
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.ionization_simulation import HOnlyConfig
+
+    geometry = GridGeometry.from_params(params)
+    config = HOnlyConfig.from_params(params)
+    if grid_type == "AMR":
+        from cmacionize_tpu.models import amr
+
+        scheme = amr.refinement_scheme_from_params(params)
+        sim = amr.AMRIonizationSimulation(
+            geometry, scheme,
+            lambda pos: np.full(len(pos), config.number_density),
+            source_position=config.source_position,
+            luminosity=config.luminosity,
+            cross_section=config.cross_section,
+            recombination_rate=config.recombination_rate,
+            n_photons=config.n_photons,
+            max_level=params.get_int(
+                "DensityGrid:AMRRefinementScheme:maximum refinement level", 2),
+            seed=seed,
+        )
+        xh = np.asarray(sim.run(config.n_iterations))
+        log.status(
+            f"AMR grid: {sim.grid.n_cells} leaves "
+            f"(max level {sim.grid.max_level}); ionized volume "
+            f"{sim.ionized_volume():.4g} m^3")
+    else:
+        from cmacionize_tpu.models import voronoi
+
+        rng = np.random.default_rng(seed)
+        generators = voronoi.generators_from_params(params, rng)
+        grid = voronoi.build_voronoi_grid(
+            geometry, generators,
+            num_lloyd=params.get_int(
+                "DensityGrid:number of Lloyd iterations", 0))
+        sim = voronoi.HOnlyVoronoiSimulation(
+            grid, lambda pos: np.full(len(pos), config.number_density),
+            source_position=config.source_position,
+            luminosity=config.luminosity,
+            cross_section=config.cross_section,
+            recombination_rate=config.recombination_rate,
+            n_photons=config.n_photons,
+            seed=seed,
+        )
+        xh = np.asarray(sim.run(config.n_iterations))
+        log.status(
+            f"Voronoi grid: {grid.n_cells} cells; ionized volume "
+            f"{sim.ionized_volume():.4g} m^3")
+    out = params.get_string("DensityGridWriter:prefix", "snapshot_") +         "cells.npz"
+    np.savez(out, neutral_fraction=xh)
+    log.status(f"wrote per-cell neutral fractions -> {out}")
 
 
 def _run_rhd(params, log, seed):

@@ -472,3 +472,112 @@ def apply_hydro_mask(u: HydroState, mask, u_masked: HydroState) -> HydroState:
         jnp.where(mask, masked_field, field)
         for field, masked_field in zip(u, u_masked)
     ))
+
+
+# ---------------------------------------------------------------------------
+# Internal hydro units
+# ---------------------------------------------------------------------------
+
+
+class InternalHydroUnits(NamedTuple):
+    """Round-off-minimizing unit system for the f32 hydro state.
+
+    TPU equivalent of /root/reference/src/InternalHydroUnits.hpp:100-180:
+    length/mass/time units derived from the box size, mean density and mean
+    pressure put the working arrays at O(1), where f32 has its ~1e-7
+    relative precision — essential for deep-contrast problems (bondi).
+    All factors are exact scalar multiplications, so conversion itself adds
+    at most 1 ulp.
+    """
+
+    length: float  # m per internal length
+    density: float  # kg m^-3 per internal density
+    pressure: float  # Pa per internal pressure
+    velocity: float
+    time: float
+    momentum_density: float
+    energy_density: float
+
+    @classmethod
+    def from_state(cls, u: "HydroState", box_size: float,
+                   gamma: float = GAMMA_DEFAULT) -> "InternalHydroUnits":
+        w = primitives_from_conserved(u, gamma)
+        return cls.from_averages(
+            box_size,
+            float(jnp.mean(w.rho)),
+            float(jnp.mean(w.p)),
+        )
+
+    @classmethod
+    def from_averages(cls, box_size: float, mean_density: float,
+                      mean_pressure: float) -> "InternalHydroUnits":
+        L = float(box_size)
+        M = float(mean_density) * L ** 3
+        T = float(M / (mean_pressure * L)) ** 0.5
+        return cls(
+            length=L,
+            density=mean_density,
+            pressure=float(mean_pressure),
+            velocity=L / T,
+            time=T,
+            momentum_density=mean_density * L / T,
+            energy_density=float(mean_pressure),
+        )
+
+    def to_internal(self, u: "HydroState") -> "HydroState":
+        return HydroState(
+            rho=u.rho / self.density,
+            mom_x=u.mom_x / self.momentum_density,
+            mom_y=u.mom_y / self.momentum_density,
+            mom_z=u.mom_z / self.momentum_density,
+            energy=u.energy / self.energy_density,
+        )
+
+    def to_si(self, u: "HydroState") -> "HydroState":
+        return HydroState(
+            rho=u.rho * self.density,
+            mom_x=u.mom_x * self.momentum_density,
+            mom_y=u.mom_y * self.momentum_density,
+            mom_z=u.mom_z * self.momentum_density,
+            energy=u.energy * self.energy_density,
+        )
+
+
+def hydro_step_internal(
+    u: HydroState,
+    dt,
+    units: InternalHydroUnits,
+    *,
+    boundaries,
+    cell_size,
+    gamma: float = GAMMA_DEFAULT,
+    riemann_solver: str = "HLLC",
+    gravity=None,
+    inflow_states: Optional[dict] = None,
+) -> HydroState:
+    """hydro_step computed in the internal unit system (SI in, SI out)."""
+    ui = units.to_internal(u)
+    accel = units.velocity / units.time
+    grav_i = None
+    if gravity is not None:
+        grav_i = tuple(g / accel for g in gravity)
+    inflow_i = None
+    if inflow_states is not None:
+        inflow_i = {
+            k: Primitives(
+                rho=v.rho / units.density,
+                vx=v.vx / units.velocity,
+                vy=v.vy / units.velocity,
+                vz=v.vz / units.velocity,
+                p=v.p / units.pressure,
+            )
+            for k, v in inflow_states.items()
+        }
+    ui = hydro_step(
+        ui, dt / units.time,
+        boundaries=boundaries,
+        cell_size=tuple(float(c) / units.length for c in cell_size),
+        gamma=gamma, riemann_solver=riemann_solver,
+        gravity=grav_i, inflow_states=inflow_i,
+    )
+    return units.to_si(ui)

@@ -170,3 +170,70 @@ def test_cli_emission_mode(tmp_path):
         assert len(names) >= 40  # all 42 reference EMISSIONLINE_* labels
         hbeta = np.asarray(handle["PartType0"]["EmissivityHBeta"])
         assert np.all(hbeta > 0)
+
+
+def test_cli_amr_grid_dispatch(tmp_path, monkeypatch):
+    """DensityGrid:type: AMR runs the AMR driver end-to-end
+    (DensityGridFactory.hpp:73)."""
+    monkeypatch.chdir(tmp_path)
+    param_file = tmp_path / "amr.param"
+    param_file.write_text(
+        "SimulationBox:\n"
+        "  anchor: [0. m, 0. m, 0. m]\n"
+        "  sides: [1.e17 m, 1.e17 m, 1.e17 m]\n"
+        "DensityGrid:\n"
+        "  type: AMR\n"
+        "  number of cells: [8, 8, 8]\n"
+        "  AMRRefinementScheme:\n"
+        "    type: Opacity\n"
+        "    target opacity: 1.e-18 m^-1\n"
+        "    maximum refinement level: 1\n"
+        "DensityFunction:\n"
+        "  density: 100. cm^-3\n"
+        "PhotonSourceDistribution:\n"
+        "  position: [5.e16 m, 5.e16 m, 5.e16 m]\n"
+        "  luminosity: 1.e48 s^-1\n"
+        "IonizationSimulation:\n"
+        "  number of photons: 2000\n"
+        "  number of iterations: 2\n"
+    )
+    from cmacionize_tpu import cli
+
+    assert cli.main(["--params", str(param_file)]) == 0
+    import numpy as np
+
+    out = np.load(tmp_path / "snapshot_cells.npz")
+    xh = out["neutral_fraction"]
+    assert xh.ndim == 1 and (xh > 0).all() and (xh <= 1).all()
+
+
+def test_cli_voronoi_grid_dispatch(tmp_path, monkeypatch):
+    """DensityGrid:type: Voronoi runs the Voronoi driver end-to-end."""
+    monkeypatch.chdir(tmp_path)
+    param_file = tmp_path / "vor.param"
+    param_file.write_text(
+        "SimulationBox:\n"
+        "  anchor: [0. m, 0. m, 0. m]\n"
+        "  sides: [1.e17 m, 1.e17 m, 1.e17 m]\n"
+        "DensityGrid:\n"
+        "  type: Voronoi\n"
+        "  number of Lloyd iterations: 1\n"
+        "  VoronoiGeneratorDistribution:\n"
+        "    type: UniformRandom\n"
+        "    number of positions: 300\n"
+        "DensityFunction:\n"
+        "  density: 100. cm^-3\n"
+        "PhotonSourceDistribution:\n"
+        "  position: [5.e16 m, 5.e16 m, 5.e16 m]\n"
+        "  luminosity: 1.e48 s^-1\n"
+        "IonizationSimulation:\n"
+        "  number of photons: 2000\n"
+        "  number of iterations: 2\n"
+    )
+    from cmacionize_tpu import cli
+
+    assert cli.main(["--params", str(param_file)]) == 0
+    import numpy as np
+
+    out = np.load(tmp_path / "snapshot_cells.npz")
+    assert out["neutral_fraction"].shape == (300,)

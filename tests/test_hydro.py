@@ -203,3 +203,73 @@ def test_exact_flux_vacuum_branches_finite():
         one, 10.0 * one, z, z, 0.01 * one)
     assert np.isfinite(np.asarray(f)).all()
     np.testing.assert_allclose(np.asarray(f.mass), 0.0, atol=1e-6)
+
+
+def test_internal_units_roundtrip_exact():
+    from cmacionize_tpu.ops.hydro import InternalHydroUnits
+
+    rng = np.random.default_rng(1)
+    shape = (8, 8, 8)
+    u = hydro.HydroState(
+        rho=jnp.asarray(rng.uniform(1e-21, 1e-19, shape), jnp.float32),
+        mom_x=jnp.asarray(rng.uniform(-1e-17, 1e-17, shape), jnp.float32),
+        mom_y=jnp.asarray(rng.uniform(-1e-17, 1e-17, shape), jnp.float32),
+        mom_z=jnp.asarray(rng.uniform(-1e-17, 1e-17, shape), jnp.float32),
+        energy=jnp.asarray(rng.uniform(1e-14, 1e-12, shape), jnp.float32),
+    )
+    units = InternalHydroUnits.from_state(u, box_size=3.086e16)
+    back = units.to_si(units.to_internal(u))
+    for a, b in zip(u, back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-7)
+
+
+def test_internal_units_sod_astrophysical_scale():
+    """Deep-contrast Sod at ISM scales: the internal-unit path reproduces
+    the O(1) solution shape (InternalHydroUnits.hpp round-off rescaling)."""
+    from cmacionize_tpu.ops.hydro import (
+        InternalHydroUnits,
+        hydro_step_internal,
+    )
+
+    n = 64
+    pc = 3.086e16
+    rho_u, p_u, L = 1.0e-20, 1.0e-12, pc  # ISM-ish scales
+    shape = (n, 4, 4)
+    dx = L / n
+    x = (np.arange(n) + 0.5) / n
+    rho = np.where(x < 0.5, 1.0, 0.125) * rho_u
+    p = np.where(x < 0.5, 1.0, 0.1) * p_u
+    w = hydro.Primitives(
+        rho=jnp.asarray(np.broadcast_to(rho[:, None, None], shape), jnp.float32),
+        vx=jnp.zeros(shape, jnp.float32),
+        vy=jnp.zeros(shape, jnp.float32),
+        vz=jnp.zeros(shape, jnp.float32),
+        p=jnp.asarray(np.broadcast_to(p[:, None, None], shape), jnp.float32),
+    )
+    u = hydro.conserved_from_primitives(w, GAMMA)
+    units = InternalHydroUnits.from_averages(L, rho.mean(), p.mean())
+    boundaries = (
+        (hydro.BC_OUTFLOW, hydro.BC_OUTFLOW),
+        (hydro.BC_PERIODIC, hydro.BC_PERIODIC),
+        (hydro.BC_PERIODIC, hydro.BC_PERIODIC),
+    )
+    # t_end chosen as the scaled equivalent of t=0.2 on the unit problem
+    t_scale = np.sqrt(rho_u / p_u) * L
+    t_end = 0.2 * t_scale
+    t = 0.0
+    while t < t_end:
+        dt = min(float(hydro.cfl_timestep(u, (dx,) * 3, cfl=0.4, gamma=GAMMA)),
+                 t_end - t)
+        u = hydro_step_internal(
+            u, dt, units, boundaries=boundaries, cell_size=(dx,) * 3,
+            gamma=GAMMA)
+        t += dt
+    w_out = hydro.primitives_from_conserved(u, GAMMA)
+    rho_num = np.asarray(w_out.rho[:, 2, 2]) / rho_u
+    s = jnp.asarray((x - 0.5) / 0.2, jnp.float32)
+    rho_ex, _, _ = riemann.exact_sample(
+        jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(1.0),
+        jnp.asarray(0.125), jnp.asarray(0.0), jnp.asarray(0.1),
+        s, gamma=GAMMA)
+    l1 = np.abs(rho_num - np.asarray(rho_ex)).mean()
+    assert l1 < 0.025, f"astrophysical-scale Sod L1 error: {l1}"
