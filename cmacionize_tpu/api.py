@@ -73,9 +73,14 @@ def _deposit_petkova(geometry, positions, masses, smoothing_lengths):
 
     Prefers the native analytic path; falls back to a sub-sampled numeric
     kernel integration (3^3 points per cell) that converges to the same map.
+
+    Incoming ``smoothing_lengths`` use the SPH convention (kernel support =
+    h); the reference halves them before evaluating its support-2h cubic
+    spline (SPHArrayInterface.cpp:986), and so do we.
     """
     from cmacionize_tpu import native
 
+    smoothing_lengths = np.asarray(smoothing_lengths) * 0.5
     grid = native.petkova_deposit(
         positions, masses, smoothing_lengths,
         np.asarray(geometry.anchor), np.asarray(geometry.sides),

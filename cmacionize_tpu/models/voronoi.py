@@ -204,6 +204,18 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
     image_meta = []  # per image block: (is_wall, shift[3])
     import itertools
 
+    # Degeneracy proof for images involving >= 1 mirrored axis (pure mirror
+    # OR mirror mixed with periodic translations): let q' be such an image of
+    # q and q'' the image with the same periodic translations but no mirrors
+    # (q'' = q itself for pure mirrors).  For a wall at coordinate 0 on a
+    # mirrored axis and any x strictly inside the box,
+    #   |x - q'|^2 - |x - q''|^2 = 4 * x_axis * q_axis >= 0   (per axis),
+    # with equality only on the wall plane — so q' never beats q'' in the
+    # open box and any Qhull face against q' has zero area inside the domain
+    # (it can only exist *in* the wall plane, where escape is the correct
+    # outcome anyway).  Labeling every mirrored-axis image a wall face is
+    # therefore exact up to f.p. round-off, including mixed
+    # periodic+reflective boxes.
     for combo in itertools.product((-1, 0, 1), repeat=3):
         if combo == (0, 0, 0):
             continue

@@ -290,8 +290,11 @@ def exact_flux(
     velocity at the interface.
     """
     tiny = 1e-40
-    vac_L = rhoL <= tiny
-    vac_R = rhoR <= tiny
+    # the reference also treats P == 0 as vacuum (ExactRiemannSolver.hpp
+    # vacuum check): a cold zero-pressure state must take the vacuum
+    # branches, not a clamped Newton solve
+    vac_L = (rhoL <= tiny) | (pL <= tiny)
+    vac_R = (rhoR <= tiny) | (pR <= tiny)
     rhoL_s = jnp.where(vac_L, 1.0, rhoL)
     pL_s = jnp.where(vac_L, 1.0, jnp.maximum(pL, tiny))
     rhoR_s = jnp.where(vac_R, 1.0, rhoR)

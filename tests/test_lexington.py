@@ -40,7 +40,17 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 @pytest.fixture(scope="module")
 def hii20_result():
-    os.chdir(BENCH_DIR)  # BlockSyntax filename is relative to the param file
+    # BlockSyntax filename is relative to the param file; restore cwd so
+    # later tests in the session don't write into benchmarks/
+    prev_cwd = os.getcwd()
+    os.chdir(BENCH_DIR)
+    try:
+        return _compute_hii20()
+    finally:
+        os.chdir(prev_cwd)
+
+
+def _compute_hii20():
     params = ParameterFile(os.path.join(BENCH_DIR, "lexingtonHII20.param"))
     config = MultiFreqConfig.from_params(params)
     config = dataclasses.replace(
