@@ -41,16 +41,47 @@ def _write_snapshot(params, geometry, fields, time_value, log):
     return name
 
 
-def _run_ionization(params, log, seed):
+def _parallel_config(params, n_devices_flag=0):
+    """Resolve the ``Parallel:`` block (+ --devices override).
+
+    Returns (n_devices, tiling).  n_devices == 1 → single-device run.
+    The reference reserves this role for its MPI layer
+    (/root/reference/src/MPICommunicator.hpp); here it selects the
+    domain-decomposed drivers over a jax device mesh.
+    """
+    import jax
+
+    n_dev = n_devices_flag or params.get_int("Parallel:number of devices", 1)
+    if n_dev < 0:  # -1 → all available devices
+        n_dev = len(jax.devices())
+    tiling = None
+    if params.has_value("Parallel:tiling"):
+        tiling = tuple(params.get_int_vector("Parallel:tiling"))
+        n_dev = tiling[0] * tiling[1] * tiling[2]
+    elif n_dev > 1:
+        tiling = (n_dev, 1, 1)
+    avail = len(jax.devices())
+    if n_dev > avail:
+        raise SystemExit(
+            f"Parallel: requested {n_dev} devices, only {avail} available")
+    return n_dev, tiling
+
+
+def _run_ionization(params, log, seed, n_devices_flag=0):
     """Photoionization post-processing (classic / task-based modes).
 
     ``DensityGrid:type`` dispatches over the grid families like the
     reference's DensityGridFactory
     (/root/reference/src/DensityGridFactory.hpp:73-77): Cartesian (default),
     AMR, Voronoi.  The AMR/Voronoi paths run the H-only driver on their
-    respective grids.
+    respective grids.  A ``Parallel:`` block (or ``--devices``) selects the
+    domain-decomposed drivers (Cartesian only).
     """
     grid_type = params.get_string("DensityGrid:type", "Cartesian")
+    n_dev, tiling = _parallel_config(params, n_devices_flag)
+    if n_dev > 1 and grid_type != "Cartesian":
+        raise SystemExit(
+            "Parallel: domain decomposition requires a Cartesian grid")
     if grid_type in ("AMR", "Voronoi"):
         return _run_ionization_special_grid(params, log, seed, grid_type)
     multi_element = (
@@ -79,9 +110,20 @@ def _run_ionization(params, log, seed):
             df = density_function_from_params(params, config.geometry)
             density = df.number_density
             init_T = df.temperature
+        mesh = None
+        if n_dev > 1:
+            from cmacionize_tpu.parallel.mesh import make_mesh
+
+            if tiling is not None and (tiling[1] != 1 or tiling[2] != 1):
+                raise SystemExit(
+                    "Parallel: the multi-frequency driver shards x-slabs; "
+                    "use tiling [N, 1, 1]")
+            mesh = make_mesh(n_dev, axis_names=("x",))
+            log.status(
+                f"domain decomposition: {n_dev} devices, x-slabs")
         sim = MultiFreqIonizationSimulation(
             config, log=log, seed=seed, density=density,
-            initial_temperature=init_T,
+            initial_temperature=init_T, mesh=mesh,
         )
         xion, temperature = sim.run()
         fields = {
@@ -100,7 +142,17 @@ def _run_ionization(params, log, seed):
         )
 
         config = HOnlyConfig.from_params(params)
-        sim = HOnlyIonizationSimulation(config, log=log, seed=seed)
+        if n_dev > 1:
+            from cmacionize_tpu.models.ionization_simulation import (
+                ShardedHOnlyIonizationSimulation,
+            )
+
+            log.status(
+                f"domain decomposition: {n_dev} devices, tiling {tiling}")
+            sim = ShardedHOnlyIonizationSimulation(
+                config, tiling=tiling, log=log, seed=seed)
+        else:
+            sim = HOnlyIonizationSimulation(config, log=log, seed=seed)
         xh = sim.run()
         fields = {
             "NumberDensity": np.asarray(sim.number_density),
@@ -119,13 +171,38 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
 
     geometry = GridGeometry.from_params(params)
     config = HOnlyConfig.from_params(params)
+
+    # Honor any DensityFunction type (not just Homogeneous): build the field
+    # on the Cartesian lattice once and nearest-sample it at arbitrary
+    # positions, so Mass/Opacity/OI refinement criteria see the real
+    # structure (cf. DensityFunctionFactory.hpp:138-174).
+    if params.get_string("DensityFunction:type", "Homogeneous") == "Homogeneous":
+        density_callable = (
+            lambda pos: np.full(len(np.atleast_2d(pos)), config.number_density)
+        )
+    else:
+        from cmacionize_tpu.models.density_functions import (
+            density_function_from_params,
+        )
+
+        _df = density_function_from_params(params, geometry)
+        _nd = np.asarray(_df.number_density)
+        _anchor = np.asarray(geometry.anchor)
+        _cell = np.asarray(geometry.cell_size)
+        _shape = np.asarray(geometry.shape)
+
+        def density_callable(pos):
+            idx = ((np.atleast_2d(pos) - _anchor) / _cell).astype(int)
+            idx = np.clip(idx, 0, _shape - 1)
+            return _nd[tuple(idx.T)]
+
     if grid_type == "AMR":
         from cmacionize_tpu.models import amr
 
         scheme = amr.refinement_scheme_from_params(params)
         sim = amr.AMRIonizationSimulation(
             geometry, scheme,
-            lambda pos: np.full(len(pos), config.number_density),
+            density_callable,
             source_position=config.source_position,
             luminosity=config.luminosity,
             cross_section=config.cross_section,
@@ -150,7 +227,7 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
             num_lloyd=params.get_int(
                 "DensityGrid:number of Lloyd iterations", 0))
         sim = voronoi.HOnlyVoronoiSimulation(
-            grid, lambda pos: np.full(len(pos), config.number_density),
+            grid, density_callable,
             source_position=config.source_position,
             luminosity=config.luminosity,
             cross_section=config.cross_section,
@@ -412,6 +489,11 @@ def main(argv=None):
     parser.add_argument(
         "--file", default="", help="input snapshot for --emission"
     )
+    parser.add_argument(
+        "--devices", type=int, default=0,
+        help="run domain-decomposed over N devices (overrides Parallel: "
+             "block; -1 = all available)",
+    )
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument(
@@ -438,7 +520,7 @@ def main(argv=None):
     elif args.emission:
         _run_emission(params, log, args.file)
     else:
-        _run_ionization(params, log, args.seed)
+        _run_ionization(params, log, args.seed, n_devices_flag=args.devices)
 
     if args.params:
         used = os.path.basename(args.params) + ".used-values"

@@ -140,7 +140,14 @@ class MultiFreqIonizationSimulation:
     def __init__(
         self, config: MultiFreqConfig, log: Optional[Log] = None,
         seed: int = 42, density=None, initial_temperature=None,
+        mesh=None,
     ):
+        """``mesh``: optional 1-axis jax Mesh ("x") — when given, the MC
+        transport runs domain-decomposed: the grid is sharded into x-slabs
+        over the mesh devices and packets are exchanged over the interconnect
+        (parallel.domain.make_domain_spectral_trace), with diffuse
+        re-emission handled in-loop on the owning slab.  The solves are
+        unchanged (host CPU f64)."""
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         # the solves run on the host CPU backend; register it if the session
@@ -238,6 +245,39 @@ class MultiFreqIonizationSimulation:
         # spectra from the binned tallies each iteration
         self.tracker_manager = None
 
+        self.mesh = mesh
+        self._n_emitted = config.n_photons
+        self._sharded_trace = None
+        self._sharded_shardings = None
+        if mesh is not None:
+            from cmacionize_tpu.parallel import domain as domain_mod
+
+            n_dev = mesh.shape["x"]
+            self._n_loc = -(-config.n_photons // n_dev)  # ceil
+            self._n_emitted = self._n_loc * n_dev
+            reemission_cfg = None
+            if config.diffuse_field:
+                reemission_cfg = {
+                    "spectra": self.spectra,
+                    "sig_h_tab": self.sigma_table[ions.ION_H_n],
+                    "sig_he_tab": self.sigma_table[ions.ION_He_n],
+                    "bin_edges": self.bin_edges,
+                    "AHe": config.abundances["He"],
+                }
+            # the carry is sized on the GLOBAL photon count: a point source
+            # funnels every packet through its owning slab, which must be
+            # able to hold them all (cf. parallel.domain3d's n_carry note)
+            self._sharded_trace, self._sharded_shardings = (
+                domain_mod.make_domain_spectral_trace(
+                    mesh,
+                    global_shape=shape,
+                    n_bins=config.n_bins,
+                    n_photons=self._n_emitted,
+                    axis="x",
+                    reemission=reemission_cfg,
+                )
+            )
+
     # ---------------------------------------------------------------- MC core
 
     def _emit_bins(self, key, n):
@@ -334,6 +374,88 @@ class MultiFreqIonizationSimulation:
         )
         return integrals, tally2d  # [n_ion + 2, ncell], [n_bins * ncell]
 
+    def _mc_shoot_sharded(self, key, xH, xHe, T):
+        """Domain-decomposed emit + trace (+ in-loop re-emission).
+
+        Same estimator as :meth:`_mc_shoot`; the grid lives sharded in
+        x-slabs, each device emits its 1/n_dev share of the photons (global
+        positions at the source; out-of-slab emissions hop to their owner
+        through the superstep exchange).
+        """
+        cfg = self.config
+        shape = self.geometry.shape
+        ncell = self.geometry.n_cells
+        nd = self.number_density
+        AHe = cfg.abundances["He"]
+        n_dev = self.mesh.shape["x"]
+        n_loc = self._n_loc
+        n_tot = self._n_emitted
+
+        sig_h_tab = jnp.asarray(self.sigma_table[ions.ION_H_n], jnp.float32)
+        sig_he_tab = jnp.asarray(self.sigma_table[ions.ION_He_n], jnp.float32)
+
+        key_bin, key_emit, key_loop = jax.random.split(key, 3)
+        fbin_e = self._emit_bins(key_bin, n_tot)
+        px, py, pz, dx, dy, dz, tau_e, _, w_e = sources.emit_point_source(
+            key_emit, n_tot, self._source_gpos
+        )
+        # a point source belongs to one slab: emit the whole batch on its
+        # owning device (other devices' lanes are masked off); the per-slab
+        # packets-traced counters expose the resulting first-trace skew
+        nx_loc = shape[0] // n_dev
+        src_dev = min(int(self._source_gpos[0]) // nx_loc, n_dev - 1)
+        fsh = self._sharded_shardings["packets"]
+
+        def _stack(arr, dtype=np.float32):
+            out = np.zeros((n_dev,) + np.asarray(arr).shape, dtype)
+            out[src_dev] = np.asarray(arr)
+            return jax.device_put(jnp.asarray(out), fsh)
+
+        position = _stack(jnp.stack([px, py, pz], 1))
+        direction = _stack(jnp.stack([dx, dy, dz], 1))
+        tau = _stack(tau_e)
+        weight = _stack(w_e)
+        sig_h = _stack(sig_h_tab[fbin_e])
+        sig_he = _stack(sig_he_tab[fbin_e])
+        fbin = _stack(fbin_e, np.int32)
+        emit_np = np.zeros((n_dev, n_tot), bool)
+        emit_np[src_dev] = True
+        emit_mask = jax.device_put(jnp.asarray(emit_np), fsh)
+
+        field_sh = self._sharded_shardings["field"]
+        chi_h = jax.device_put(
+            (nd * xH.astype(jnp.float32) * self.dx), field_sh)
+        chi_he = jax.device_put(
+            (nd * AHe * xHe.astype(jnp.float32) * self.dx), field_sh)
+
+        args = [chi_h, chi_he, position, direction, tau, weight, sig_h,
+                sig_he, fbin, emit_mask]
+        if cfg.diffuse_field:
+            keys = jax.device_put(
+                jax.random.split(key_loop, n_dev), fsh)
+            args += [
+                jax.device_put(xH.astype(jnp.float32), field_sh),
+                jax.device_put(xHe.astype(jnp.float32), field_sh),
+                jax.device_put(T.astype(jnp.float32), field_sh),
+                keys,
+            ]
+        tally4d, absorbed_field, diag = self._sharded_trace(*args)
+        self._last_trace_diag = {k: int(v) for k, v in diag.items()}
+        if self._last_trace_diag.get("buffer_overflow", 0):
+            self.log.warning(
+                "sharded trace buffer overflow: "
+                f"{self._last_trace_diag['buffer_overflow']} packets — "
+                "increase the exchange capacity")
+
+        tally2d = tally4d.reshape(cfg.n_bins * ncell)
+        integrals = traversal.spectral_tallies_to_ion_integrals(
+            tally2d,
+            jnp.asarray(self.sigma_table, jnp.float32),
+            jnp.asarray(self.heating_weights, jnp.float32),
+            ncell,
+        )
+        return integrals, tally2d
+
     # ------------------------------------------------------------ iterations
 
     def _solve_state(self, integrals, do_temp: bool):
@@ -353,7 +475,7 @@ class MultiFreqIonizationSimulation:
             jax.device_get(self.number_density), cpu
         ).astype(jnp.float64)
         jfac = cfg.luminosity * self.dx / (
-            cfg.n_photons * self.geometry.cell_volume
+            self._n_emitted * self.geometry.cell_volume
         )
         hfac = jfac * constants.PLANCK
         integrals = integrals.astype(jnp.float64)
@@ -436,7 +558,10 @@ class MultiFreqIonizationSimulation:
         n_iterations = n_iterations or cfg.n_iterations
         if restart_manager is not None:
             signals.install()
-        shoot = jax.jit(self._mc_shoot)
+        if self.mesh is not None:
+            shoot = self._mc_shoot_sharded  # inner trace already jitted
+        else:
+            shoot = jax.jit(self._mc_shoot)
         device = jax.devices()[0]  # compute device for the MC transport
         while self.iteration < n_iterations:
             loop = self.iteration

@@ -243,6 +243,7 @@ def make_domain_spectral_trace(
     axis: str = "x",
     max_supersteps: int = 256,
     capacity: int = 0,
+    reemission=None,
 ):
     """Build a jitted domain-decomposed spectral traversal.
 
@@ -268,11 +269,20 @@ def make_domain_spectral_trace(
     ...] (sharded on the device dim) — each device emits its own share with
     positions in GLOBAL grid units; emit_mask marks which lanes are real.
     ``absorbed_field`` is the [n_bins, nx, ny, nz] absorbed-weight field
-    (sharded on x): the caller samples diffuse-reemission injections from it
-    (position ∝ per-cell absorbed weight, channel from the local ionization
-    state) and calls trace_fn again for the next generation — the
+    (sharded on x).
+
+    ``reemission``: optional dict enabling in-loop diffuse re-emission — the
     domain-decomposed equivalent of the reference's PhotonReemitTaskContext
-    generations.
+    generations, estimator-identical to the single-device per-packet path
+    (reemit_batch applied at the absorption cell, locally on the owning
+    device; no exchange needed at re-emission time since the packet stays in
+    its cell).  Keys: ``spectra`` (ReemissionSpectra), ``sig_h_tab`` /
+    ``sig_he_tab`` ([n_bins] cross sections at bin centers), ``bin_edges``
+    ([n_bins+1]), ``AHe``.  When set, trace_fn takes four extra arguments
+    after ``emit_mask``: xH, xHe ([nx,ny,nz] f32, sharded on x),
+    T ([nx,ny,nz] f32, sharded), and keys ([n_dev] PRNG keys, sharded);
+    ``absorbed_field`` then holds only TRULY absorbed weight (after all
+    generations died).
     """
     n_dev = mesh.shape[axis]
     nx, ny, nz = global_shape
@@ -286,9 +296,16 @@ def make_domain_spectral_trace(
     right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
+    if reemission is not None:
+        _re_spectra = reemission["spectra"]
+        _re_sig_h = jnp.asarray(reemission["sig_h_tab"], jnp.float32)
+        _re_sig_he = jnp.asarray(reemission["sig_he_tab"], jnp.float32)
+        _re_edges = jnp.asarray(reemission["bin_edges"], jnp.float32)
+        _re_AHe = float(reemission["AHe"])
+
     def device_trace(
         chi_h, chi_he, position, direction, tau, weight, sig_h, sig_he,
-        fbin, emit_mask,
+        fbin, emit_mask, xH=None, xHe=None, T=None, keys=None,
     ):
         my = jax.lax.axis_index(axis)
         x_offset = (my * nx_loc).astype(position.dtype)
@@ -305,6 +322,13 @@ def make_domain_spectral_trace(
         weight0 = weight[0]
         sig_h0, sig_he0 = sig_h[0], sig_he[0]
         fbin0 = fbin[0].astype(jnp.int32)
+        if reemission is not None:
+            xH_flat = xH.astype(jnp.float32).reshape(-1)
+            xHe_flat = xHe.astype(jnp.float32).reshape(-1)
+            T_flat = T.astype(jnp.float32).reshape(-1)
+            key0 = keys[0]
+        else:
+            key0 = jax.random.PRNGKey(0)
         def classify(px, dx):
             # direction-aware slab membership: a packet exactly on a slab
             # wall belongs to the cell it is about to enter (px == nx_loc
@@ -339,9 +363,41 @@ def make_domain_spectral_trace(
 
         def superstep(carry):
             (step, tally2d, px, py, pz, dx, dy, dz, tau, w, sh, she, fb,
-             active, pend_l, pend_r, n_esc, n_over, abs_acc) = carry
+             active, pend_l, pend_r, n_esc, n_over, abs_acc, key) = carry
             fields = (px, py, pz, dx, dy, dz, tau, w, sh, she, fb)
             tally2d, pk = trace_once(tally2d, fields, active)
+
+            if reemission is not None:
+                # in-place diffuse re-emission at the absorption cell
+                # (PhotonReemitTaskContext equivalent — per-packet, local)
+                key, k_re, k_dir, k_tau = jax.random.split(key, 4)
+                n_lanes = pk.px.shape[0]
+                flat_re = (
+                    jnp.clip(pk.cx, 0, nx_loc - 1) * ny + pk.cy
+                ) * nz + pk.cz
+                from cmacionize_tpu.models import reemission as reemission_mod
+
+                remask, new_freq = reemission_mod.reemit_batch(
+                    k_re, _re_spectra, pk.absorbed, pk.sig_h, pk.sig_he,
+                    xH_flat[flat_re], xHe_flat[flat_re], T_flat[flat_re],
+                    _re_AHe,
+                )
+                ndx, ndy, ndz = sources.isotropic_directions(k_dir, n_lanes)
+                ntau = sources.sample_tau_targets(k_tau, n_lanes)
+                nbin = jnp.clip(
+                    jnp.searchsorted(_re_edges, new_freq) - 1, 0, n_bins - 1
+                ).astype(jnp.int32)
+                pk = pk._replace(
+                    dx=jnp.where(remask, ndx, pk.dx),
+                    dy=jnp.where(remask, ndy, pk.dy),
+                    dz=jnp.where(remask, ndz, pk.dz),
+                    tau_left=jnp.where(remask, ntau, pk.tau_left),
+                    sig_h=jnp.where(remask, _re_sig_h[nbin], pk.sig_h),
+                    sig_he=jnp.where(remask, _re_sig_he[nbin], pk.sig_he),
+                    fbin=jnp.where(remask, nbin, pk.fbin),
+                    active=pk.active | remask,
+                    absorbed=pk.absorbed & ~remask,
+                )
 
             out_left = (active & ~pk.absorbed & ~pk.active & (pk.cx < 0)) | pend_l
             out_right = (
@@ -382,25 +438,41 @@ def make_domain_spectral_trace(
             recv_l = jax.lax.ppermute(
                 (*send_l_f, send_l_b, mask_l), axis, left_perm
             )
-            merged = tuple(
-                jnp.concatenate([a, b]) for a, b in zip(recv_r[:-1], recv_l[:-1])
-            )
-            merged_mask = jnp.concatenate([recv_r[-1], recv_l[-1]])
-            pad = n_photons - merged[0].shape[0]
-            if pad > 0:
-                zf = jnp.zeros((pad,), merged[0].dtype)
+            if reemission is not None:
+                # re-emitted lanes stay active locally and must survive the
+                # merge alongside the received packets
+                loc = (pk.px, pk.py, pk.pz, pk.dx, pk.dy, pk.dz, pk.tau_left,
+                       pk.weight, pk.sig_h, pk.sig_he, pk.fbin)
                 merged = tuple(
-                    jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
-                    for f in merged
+                    jnp.concatenate([l, a, b])
+                    for l, a, b in zip(loc, recv_r[:-1], recv_l[:-1])
                 )
-                del zf
                 merged_mask = jnp.concatenate(
-                    [merged_mask, jnp.zeros((pad,), bool)]
+                    [pk.active, recv_r[-1], recv_l[-1]]
                 )
-                active = merged_mask
-            else:
                 merged, active, ov_m = _compact(merged, merged_mask, n_photons)
                 n_over = n_over + ov_m
+            else:
+                merged = tuple(
+                    jnp.concatenate([a, b])
+                    for a, b in zip(recv_r[:-1], recv_l[:-1])
+                )
+                merged_mask = jnp.concatenate([recv_r[-1], recv_l[-1]])
+                pad = n_photons - merged[0].shape[0]
+                if pad > 0:
+                    merged = tuple(
+                        jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
+                        for f in merged
+                    )
+                    merged_mask = jnp.concatenate(
+                        [merged_mask, jnp.zeros((pad,), bool)]
+                    )
+                    active = merged_mask
+                else:
+                    merged, active, ov_m = _compact(
+                        merged, merged_mask, n_photons
+                    )
+                    n_over = n_over + ov_m
             (px, py, pz, dx, dy, dz, tau, w, sh, she, fb) = merged
             fb = fb.astype(jnp.int32)
             # a packet emitted (or re-injected) several slabs away keeps
@@ -411,7 +483,7 @@ def make_domain_spectral_trace(
             active = active & ge_lo & lt_hi
             return (
                 step + 1, tally2d, px, py, pz, dx, dy, dz, tau, w, sh, she,
-                fb, active, pend_l, pend_r, n_esc, n_over, abs_acc,
+                fb, active, pend_l, pend_r, n_esc, n_over, abs_acc, key,
             )
 
         def cond(carry):
@@ -427,6 +499,7 @@ def make_domain_spectral_trace(
             0, tally2d, px, py, pz, dx, dy, dz, tau0, weight0, sig_h0,
             sig_he0, fbin0, active0, pending_l0, pending_r0,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), abs_acc0,
+            key0,
         )
         carry = jax.lax.while_loop(cond, superstep, carry)
         tally2d, n_esc, n_over, abs_acc = (
@@ -444,14 +517,17 @@ def make_domain_spectral_trace(
         tally4d = tally2d.reshape(n_bins, nx_loc, ny, nz)
         return tally4d, absorbed_field, diagnostics
 
+    in_specs = [
+        P(axis), P(axis),  # chi_h, chi_he (sharded fields)
+        P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+        P(axis),  # per-device packet arrays (stacked [n_dev, ...])
+    ]
+    if reemission is not None:
+        in_specs += [P(axis), P(axis), P(axis), P(axis)]  # xH, xHe, T, keys
     sharded = shard_map(
         device_trace,
         mesh=mesh,
-        in_specs=(
-            P(axis), P(axis),  # chi_h, chi_he (sharded fields)
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-            P(axis),  # per-device packet arrays (stacked [n_dev, ...])
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P(None, axis), P(None, axis), P()),
         check_rep=False,
     )
