@@ -245,109 +245,21 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
 
 
 def _run_rhd(params, log, seed):
-    """Radiation hydrodynamics (starbench-class problems)."""
+    """Radiation hydrodynamics (starbench/bondi-class problems).
+
+    All physics selection — external potentials, self-gravity, cooling,
+    turbulence forcing, hydro masks, Bondi boundaries, time-dependent
+    sources + stellar feedback — happens in RHDSimulation.from_params
+    (mirroring /root/reference/src/RadiationHydrodynamicsSimulation.cpp:250-392).
+    """
     from cmacionize_tpu import constants
-    from cmacionize_tpu.models.grid import GridGeometry
-    from cmacionize_tpu.models.rhd_simulation import (
-        DensityBlock,
-        RHDConfig,
-        RHDSimulation,
-    )
+    from cmacionize_tpu.models.rhd_simulation import RHDSimulation
     from cmacionize_tpu.ops import hydro as hydro_mod
-    from cmacionize_tpu.utils.units import parse_quantity
 
-    geometry = GridGeometry.from_params(params)
-    total_time = params.get_physical_value(
-        "RadiationHydrodynamicsSimulation:total time", "time", "0.141 Myr"
-    )
-    dt = params.get_physical_value(
-        "RadiationHydrodynamicsSimulation:minimum timestep",
-        "time",
-        f"{total_time / 2048.0} s",
-    )
-    blocks = []
-    block_file = params.get_string("DensityFunction:filename", "")
-    if block_file and os.path.exists(block_file):
-        block_params = ParameterFile(block_file)
-        n_blocks = block_params.get_int("number of blocks", 0)
-        for i in range(n_blocks):
-            prefix = f"block[{i}]"
-            blocks.append(
-                DensityBlock(
-                    origin=tuple(
-                        block_params.get_physical_vector(f"{prefix}:origin", "length")
-                    ),
-                    sides=tuple(
-                        block_params.get_physical_vector(f"{prefix}:sides", "length")
-                    ),
-                    number_density=block_params.get_physical_value(
-                        f"{prefix}:number density", "number density"
-                    ),
-                    temperature=block_params.get_physical_value(
-                        f"{prefix}:initial temperature", "temperature", "100. K"
-                    ),
-                )
-            )
-
-    def bc(name):
-        value = params.get_string(f"HydroIntegrator:boundary {name}", "reflective")
-        return {
-            "periodic": hydro_mod.BC_PERIODIC,
-            "reflective": hydro_mod.BC_REFLECTIVE,
-            "inflow": hydro_mod.BC_INFLOW,
-            "outflow": hydro_mod.BC_OUTFLOW,
-        }[value]
-
-    config = RHDConfig(
-        geometry=geometry,
-        gamma=params.get_number("HydroIntegrator:polytropic index", 5.0 / 3.0),
-        timestep=dt,
-        total_time=total_time,
-        luminosity=params.get_physical_value(
-            "PhotonSourceDistribution:luminosity", "frequency", "1.e49 s^-1"
-        ),
-        source_position=tuple(
-            params.get_physical_vector(
-                "PhotonSourceDistribution:position", "length", ["0. m"] * 3
-            )
-        ),
-        cross_section=params.get_physical_value(
-            "CrossSections:hydrogen_0", "surface area", "6.3e-18 cm^2"
-        ),
-        recombination_rate=params.get_physical_value(
-            "RecombinationRates:hydrogen_1", "reaction rate", "2.7e-13 cm^3 s^-1"
-        ),
-        n_photons=params.get_int(
-            "RadiationHydrodynamicsSimulation:number of photons", 1000000
-        ),
-        nloop=params.get_int(
-            "RadiationHydrodynamicsSimulation:number of iterations", 10
-        ),
-        background_density=params.get_physical_value(
-            "DensityFunction:density", "number density", "0. m^-3"
-        ),
-        background_temperature=params.get_physical_value(
-            "DensityFunction:temperature", "temperature", "100. K"
-        ),
-        blocks=blocks,
-        boundaries=(
-            (bc("x low"), bc("x high")),
-            (bc("y low"), bc("y high")),
-            (bc("z low"), bc("z high")),
-        ),
-        radiative_heating=params.get_bool(
-            "HydroIntegrator:radiative heating", True
-        ),
-        radiative_cooling=params.get_bool(
-            "HydroIntegrator:radiative cooling", False
-        ),
-        riemann_solver=params.get_string(
-            "HydroIntegrator:riemann solver type", "HLLC"
-        ),
-    )
-    sim = RHDSimulation(config, log=log, seed=seed)
+    sim = RHDSimulation.from_params(params, log=log, seed=seed)
+    geometry = sim.geometry
     state, xh = sim.run()
-    w = hydro_mod.primitives_from_conserved(state, config.gamma)
+    w = hydro_mod.primitives_from_conserved(state, sim.config.gamma)
     fields = {
         "NumberDensity": np.asarray(w.rho) / constants.PROTON_MASS,
         "Density": np.asarray(w.rho),

@@ -429,7 +429,22 @@ def deposit_supernova_energy(energy_rate, sn_positions, geometry,
     step applies as a source term; mirrors
     CaproniPhotonSourceDistribution.hpp:669-679 / the SingleSupernova hook.
     Returns the updated field (numpy or JAX array in → same out).
+
+    NOTE: raw SN energies (1e44 J) overflow float32 — accumulate in a
+    float64 numpy field and convert to an energy *density* before adding to
+    an f32 hydro state.
     """
+    if isinstance(energy_rate, np.ndarray):
+        out = energy_rate.copy()
+        shape = out.shape
+        for pos in sn_positions:
+            g = geometry.position_to_grid_coords(np.asarray(pos, dtype=float))
+            ijk = tuple(
+                int(np.clip(np.floor(g[d]), 0, shape[d] - 1))
+                for d in range(3)
+            )
+            out[ijk] += boost_factor * energy_per_sn
+        return out
     import jax.numpy as jnp
 
     out = jnp.asarray(energy_rate)
@@ -441,6 +456,108 @@ def deposit_supernova_energy(energy_rate, sn_positions, geometry,
         )
         out = out.at[ijk].add(boost_factor * energy_per_sn)
     return out
+
+
+class StaticSourceDistribution(SourceDistribution):
+    """A fixed source set (SingleStar / AsciiFile / UniformRandom)."""
+
+    def __init__(self, source_set: DiscreteSourceSet):
+        self._set = source_set
+
+    def source_set(self) -> DiscreteSourceSet:
+        return self._set
+
+
+def source_distribution_from_params(params) -> SourceDistribution:
+    """Factory over ``PhotonSourceDistribution:type``, mirroring
+    /root/reference/src/PhotonSourceDistributionFactory.hpp:106-128.
+
+    GadgetSnapshot star-particle sources are handled by the snapshot loaders
+    (io.gadget) and are not routed through this factory.
+    """
+    p = "PhotonSourceDistribution"
+    dtype = params.get_string(f"{p}:type", "SingleStar")
+    seed = params.get_int(f"{p}:random seed", 42)
+
+    def phys(key, quantity, default):
+        return params.get_physical_value(f"{p}:{key}", quantity, default)
+
+    if dtype in ("None", ""):
+        return StaticSourceDistribution(
+            DiscreteSourceSet(np.zeros((0, 3)), np.zeros(0)))
+    if dtype == "SingleStar":
+        return StaticSourceDistribution(DiscreteSourceSet.single(
+            tuple(params.get_physical_vector(
+                f"{p}:position", "length", ["0. m"] * 3)),
+            phys("luminosity", "frequency", "4.26e49 s^-1")))
+    if dtype == "AsciiFile":
+        return StaticSourceDistribution(
+            DiscreteSourceSet.from_ascii(params.get_string(f"{p}:filename")))
+    if dtype == "AsciiFileTable":
+        return AsciiFileTableSourceDistribution(
+            params.get_string(f"{p}:filename"),
+            starting_time=phys("starting time", "time", "0. s"))
+    if dtype == "UniformRandom":
+        rng = np.random.default_rng(seed)
+        n = params.get_int(f"{p}:number of sources", 24)
+        anchor = params.get_physical_vector(
+            "SimulationBox:anchor", "length")
+        sides = params.get_physical_vector("SimulationBox:sides", "length")
+        pos = np.asarray(anchor) + rng.uniform(size=(n, 3)) * np.asarray(sides)
+        lum = np.full(n, phys("luminosity", "frequency", "1.e49 s^-1"))
+        return StaticSourceDistribution(DiscreteSourceSet(pos, lum))
+    if dtype == "SILCC":
+        return SILCCSourceDistribution(
+            num_sources=params.get_int(f"{p}:number of sources", 24),
+            anchor_x=phys("anchor x", "length", "-1. kpc"),
+            sides_x=phys("sides x", "length", "2. kpc"),
+            anchor_y=phys("anchor y", "length", "-1. kpc"),
+            sides_y=phys("sides y", "length", "2. kpc"),
+            origin_z=phys("origin z", "length", "0. pc"),
+            scaleheight_z=phys("scaleheight z", "length", "63. pc"),
+            luminosity=phys("luminosity", "frequency", "3.125e49 s^-1"),
+            seed=seed)
+    if dtype == "DiscPatch":
+        return DiscPatchSourceDistribution(
+            lifetime=phys("average lifetime", "time", "20. Myr"),
+            luminosity=phys("luminosity", "frequency", "1.e49 s^-1"),
+            average_number=params.get_number(
+                f"{p}:average number of sources", 24),
+            anchor_x=phys("anchor x", "length", "-1. kpc"),
+            sides_x=phys("sides x", "length", "2. kpc"),
+            anchor_y=phys("anchor y", "length", "-1. kpc"),
+            sides_y=phys("sides y", "length", "2. kpc"),
+            origin_z=phys("origin z", "length", "0. pc"),
+            scaleheight_z=phys("scaleheight z", "length", "63. pc"),
+            seed=seed,
+            update_interval=phys("update interval", "time", "0.1 Myr"))
+    if dtype == "DwarfGalaxy":
+        return DwarfGalaxySourceDistribution(
+            lifetime=phys("average lifetime", "time", "20. Myr"),
+            luminosity=phys("luminosity", "frequency", "1.e49 s^-1"),
+            average_number=params.get_number(
+                f"{p}:average number of sources", 24),
+            center=tuple(params.get_physical_vector(
+                f"{p}:center", "length", ["0. m"] * 3)),
+            scale_radius=phys("scale radius", "length", "0.3 kpc"),
+            seed=seed,
+            update_interval=phys("update interval", "time", "0.1 Myr"))
+    if dtype == "SingleSupernova":
+        return SingleSupernovaSourceDistribution(
+            position=tuple(params.get_physical_vector(
+                f"{p}:position", "length", ["0. m"] * 3)),
+            lifetime=phys("lifetime", "time", "10. Myr"),
+            luminosity=phys("luminosity", "frequency", "1.e49 s^-1"),
+            energy=phys("energy", "energy", "1.e44 J"))
+    if dtype == "Caproni":
+        return CaproniSourceDistribution(
+            number_function_norm=params.get_number(
+                f"{p}:number function norm", 1.0),
+            uv_luminosity_norm=params.get_number(
+                f"{p}:UV luminosity norm", 1.0),
+            seed=seed,
+            update_interval=phys("update interval", "time", "1. Myr"))
+    raise ValueError(f"unknown PhotonSourceDistribution type {dtype!r}")
 
 
 # ---------------------------------------------------------------------------

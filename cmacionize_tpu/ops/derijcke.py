@@ -52,6 +52,7 @@ def cooling_substep(u, dt, gamma: float, n_substeps: int = 8, mu: float = 1.0):
         rate = cooling_rate(T) * n_h * n_h  # J m^-3 s^-1
         thermal = w.p / (gamma - 1.0)
         new_thermal = jnp.maximum(thermal - rate * sub_dt, 1e-3 * thermal)
-        return u._replace(energy=u.energy - (thermal - new_thermal))
+        delta = (thermal - new_thermal).astype(u.energy.dtype)
+        return u._replace(energy=u.energy - delta)
 
     return jax.lax.fori_loop(0, n_substeps, body, u)

@@ -138,10 +138,21 @@ def test_bondi_profile_held():
     (/root/reference/benchmarks/bondi.py)."""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
-    from run_bondi import run_bondi, AU, YR
+    from run_bondi import build_simulation, AU, YR
+    from cmacionize_tpu.models.bondi import BondiProfile
 
-    geometry, profile, u, rho0, r = run_bondi(n_cells=16, t_end=4 * YR)
-    w = hydro.primitives_from_conserved(u, 1.0 + 1e-6)
+    import dataclasses
+
+    sim = build_simulation(small=True, log=lambda *a: None)
+    sim.config = dataclasses.replace(sim.config, total_time=4 * YR)
+    u, _ = sim.run(log_every=1000)
+    profile = BondiProfile(
+        central_mass=18.0 * 1.98855e30, bondi_density=1e-16,
+        sound_speed=2031.0)
+    centers = sim.geometry.cell_centers()
+    rho0, _, _, _ = profile.evaluate(centers)
+    r = np.sqrt((centers**2).sum(-1))
+    w = hydro.primitives_from_conserved(u, sim.config.gamma)
     rho = np.asarray(w.rho)
     sel = (r > 15 * AU) & (r < 45 * AU)
     rel = np.abs(rho[sel] / rho0[sel] - 1)
