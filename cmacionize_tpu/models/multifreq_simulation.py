@@ -42,6 +42,66 @@ from cmacionize_tpu.utils.logging import Log, NullLog
 _METAL_NAMES = tuple(ions.ION_NAMES[2:])
 
 
+def solve_cell_state(j, h, nd, T_prev, abundances, do_temp,
+                     pahfac=0.0, crfac=0.0):
+    """Per-cell coupled ionization(+temperature) solve — geometry-agnostic.
+
+    The multi-element state machinery shared by the Cartesian, AMR and
+    Voronoi drivers (cf. TemperatureCalculator::calculate_temperature +
+    IonizationStateCalculator, /root/reference/src/TemperatureCalculator.cpp
+    :944,980 — the reference runs the same per-cell loop on every grid type
+    through the DensityGrid iterator abstraction; here the abstraction is
+    simply flat arrays).
+
+    j: dict ion→array of photoionization integrals (s^-1); h: (hH, hHe)
+    heating integrals; nd: number density; T_prev: previous temperature.
+    All arrays share one (arbitrary) shape; float64 on the CPU backend.
+    Returns (T, xion dict).
+    """
+    if do_temp:
+        T, h0, he0, metals = temp_mod.solve_temperature(
+            T_prev, j, h, nd, abundances, pahfac=pahfac, crfac=crfac,
+        )
+    else:
+        T = T_prev
+        AHe = abundances["He"]
+        alphaH = recombination.recombination_rate("H_n", T)
+        alphaHe = recombination.recombination_rate("He_n", T)
+        h0, he0 = ionization.hydrogen_helium_neutral_fractions(
+            j["H_n"], j["He_n"], nd, AHe, T, alphaH, alphaHe
+        )
+        ne = nd * (1.0 - h0 + AHe * (1.0 - he0))
+        alphas = {
+            name: recombination.recombination_rate(name, T)
+            for name in _METAL_NAMES
+        }
+        metals = ionization.metal_ion_fractions(
+            {name: j[name] for name in _METAL_NAMES},
+            ne, T, nd * h0, nd * he0 * AHe, nd * (1.0 - h0), alphas,
+        )
+        # neutral/vacuum fixups (IonizationStateCalculator.cpp:188-260)
+        no_j = j["H_n"] <= 0.0
+        h0 = jnp.where(no_j, 1.0, h0)
+        he0 = jnp.where(no_j, 1.0, he0)
+        neutral_one = {"N_n": 1.0, "O_n": 1.0, "Ne_n": 1.0}
+        for name in _METAL_NAMES:
+            metals[name] = jnp.where(
+                no_j, neutral_one.get(name, 0.0), metals[name]
+            )
+
+    xion = {"H_n": h0, "He_n": he0}
+    xion.update(metals)
+    # zero-density (cavity) cells carry no physical state; pin them to
+    # neutral so NaNs cannot poison the opacity fields
+    vacuum = nd <= 0.0
+    if bool(jnp.any(vacuum)):
+        for name in xion:
+            fill = 1.0 if name in ("H_n", "He_n", "N_n", "O_n", "Ne_n") else 0.0
+            xion[name] = jnp.where(vacuum, fill, xion[name])
+        T = jnp.where(vacuum, 500.0, T)
+    return T, xion
+
+
 @dataclasses.dataclass(frozen=True)
 class MultiFreqConfig:
     geometry: GridGeometry
@@ -488,54 +548,11 @@ class MultiFreqIonizationSimulation:
             (integrals[ions.NUMBER_OF_IONS + 1] * hfac).reshape(shape),
         )
 
-        if do_temp:
-            T, h0, he0, metals = temp_mod.solve_temperature(
-                jax.device_put(jax.device_get(self.temperature), cpu),
-                j,
-                h,
-                nd,
-                cfg.abundances,
-                pahfac=cfg.pahfac,
-                crfac=cfg.crfac,
-            )
-        else:
-            T = jax.device_put(jax.device_get(self.temperature), cpu)
-            AHe = cfg.abundances["He"]
-            alphaH = recombination.recombination_rate("H_n", T)
-            alphaHe = recombination.recombination_rate("He_n", T)
-            h0, he0 = ionization.hydrogen_helium_neutral_fractions(
-                j["H_n"], j["He_n"], nd, AHe, T, alphaH, alphaHe
-            )
-            ne = nd * (1.0 - h0 + AHe * (1.0 - he0))
-            alphas = {
-                name: recombination.recombination_rate(name, T)
-                for name in _METAL_NAMES
-            }
-            metals = ionization.metal_ion_fractions(
-                {name: j[name] for name in _METAL_NAMES},
-                ne, T, nd * h0, nd * he0 * AHe, nd * (1.0 - h0), alphas,
-            )
-            # neutral/vacuum fixups (IonizationStateCalculator.cpp:188-260)
-            no_j = j["H_n"] <= 0.0
-            h0 = jnp.where(no_j, 1.0, h0)
-            he0 = jnp.where(no_j, 1.0, he0)
-            neutral_one = {"N_n": 1.0, "O_n": 1.0, "Ne_n": 1.0}
-            for name in _METAL_NAMES:
-                metals[name] = jnp.where(
-                    no_j, neutral_one.get(name, 0.0), metals[name]
-                )
-
-        xion = {"H_n": h0, "He_n": he0}
-        xion.update(metals)
-        # zero-density (cavity) cells carry no physical state; pin them to
-        # neutral so NaNs cannot poison the opacity fields
-        # (cf. IonizationStateCalculator.cpp:190-260 vacuum branch)
-        vacuum = nd <= 0.0
-        if bool(jnp.any(vacuum)):
-            for name in xion:
-                fill = 1.0 if name in ("H_n", "He_n", "N_n", "O_n", "Ne_n") else 0.0
-                xion[name] = jnp.where(vacuum, fill, xion[name])
-            T = jnp.where(vacuum, 500.0, T)
+        T, xion = solve_cell_state(
+            j, h, nd,
+            jax.device_put(jax.device_get(self.temperature), cpu),
+            cfg.abundances, do_temp, pahfac=cfg.pahfac, crfac=cfg.crfac,
+        )
         return T, xion, j
 
     def run(self, n_iterations: Optional[int] = None, restart_manager=None,

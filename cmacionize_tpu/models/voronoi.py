@@ -408,6 +408,273 @@ def trace_packets_voronoi(
     return tally * grid.scale, packets
 
 
+class SpectralVoronoiPacketBatch(NamedTuple):
+    """Voronoi packet batch with per-packet H/He cross sections + bin."""
+
+    pos: jnp.ndarray  # [P, 3]
+    dirn: jnp.ndarray
+    cell: jnp.ndarray
+    tau_left: jnp.ndarray
+    weight: jnp.ndarray
+    sig_h: jnp.ndarray
+    sig_he: jnp.ndarray
+    fbin: jnp.ndarray
+    active: jnp.ndarray
+    absorbed: jnp.ndarray
+
+    @property
+    def size(self):
+        return self.pos.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "n_bins", "n_cells"))
+def _trace_voronoi_spectral_jit(
+    neighbors, normals, offsets, shifts, chi_h, chi_he, packets, tally2d,
+    eps, max_steps, n_bins, n_cells,
+):
+    """Spectral cell-graph march: χ = χ_H·σ_H(ν) + χ_He·σ_He(ν) per packet,
+    deposits into a [n_bins * C] frequency-binned tally."""
+    tiny = jnp.asarray(1e-30, chi_h.dtype)
+
+    def cond(carry):
+        step, _, pk = carry
+        return jnp.logical_and(step < max_steps, jnp.any(pk.active))
+
+    def body(carry):
+        step, tly, pk = carry
+        rows_nbr = neighbors[pk.cell]
+        rows_n = normals[pk.cell]
+        rows_off = offsets[pk.cell]
+        rows_shift = shifts[pk.cell]
+
+        ndotd = jnp.einsum("pkc,pc->pk", rows_n, pk.dirn)
+        ndotp = jnp.einsum("pkc,pc->pk", rows_n, pk.pos)
+        t = jnp.where(
+            (ndotd > 1e-12) & (rows_nbr != -2),
+            jnp.maximum(rows_off - ndotp, 0.0) / jnp.maximum(ndotd, 1e-12),
+            jnp.inf,
+        )
+        k_exit = jnp.argmin(t, axis=1)
+        t_exit = jnp.take_along_axis(t, k_exit[:, None], axis=1)[:, 0]
+
+        chi_c = jnp.maximum(
+            chi_h[pk.cell] * pk.sig_h + chi_he[pk.cell] * pk.sig_he, tiny
+        )
+        tau_cell = chi_c * t_exit
+        absorbed_now = pk.active & (tau_cell >= pk.tau_left)
+        l_travel = jnp.where(absorbed_now, pk.tau_left / chi_c, t_exit)
+
+        deposit = jnp.where(pk.active, l_travel * pk.weight, 0.0)
+        tly = tly.at[pk.fbin * n_cells + pk.cell].add(deposit, mode="drop")
+
+        nbr = jnp.take_along_axis(rows_nbr, k_exit[:, None], axis=1)[:, 0]
+        shift = jnp.take_along_axis(
+            rows_shift, k_exit[:, None, None].repeat(3, 2), axis=1)[:, 0]
+        crossing = pk.active & ~absorbed_now
+        pos = pk.pos + pk.dirn[:, :] * jnp.where(
+            crossing, l_travel + eps, l_travel)[:, None]
+        pos = jnp.where(crossing[:, None], pos + shift, pos)
+        escaped = crossing & (nbr == -1)
+        cell = jnp.where(crossing & (nbr >= 0), nbr, pk.cell)
+
+        tau_left = jnp.where(absorbed_now, 0.0, pk.tau_left - tau_cell)
+        active = pk.active & ~absorbed_now & ~escaped
+        absorbed = pk.absorbed | absorbed_now
+
+        upd = pk.active
+        pos = jnp.where(upd[:, None], pos, pk.pos)
+        cell = jnp.where(upd, cell, pk.cell)
+        tau_left = jnp.where(upd, tau_left, pk.tau_left)
+        pk = SpectralVoronoiPacketBatch(
+            pos, pk.dirn, cell, tau_left, pk.weight,
+            pk.sig_h, pk.sig_he, pk.fbin, active, absorbed)
+        return step + 1, tly, pk
+
+    _, tally2d, packets = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tally2d, packets))
+    return tally2d, packets
+
+
+def trace_packets_voronoi_spectral(
+    grid: VoronoiGrid,
+    chi_h_si: jnp.ndarray,  # [C] n_H·x_H per meter (multiply σ_H)
+    chi_he_si: jnp.ndarray,  # [C] n_H·A_He·x_He per meter
+    packets: SpectralVoronoiPacketBatch,
+    *,
+    n_bins: int,
+    max_steps: int = 0,
+):
+    """Spectral march over the cell graph; returns ([n_bins, C] tallies
+    Σ ℓ_m·w in meters, terminated batch)."""
+    C = grid.n_cells
+    if max_steps == 0:
+        max_steps = 16 * int(np.ceil(C ** (1.0 / 3.0))) + 64
+    chi_h_u = jnp.asarray(chi_h_si, jnp.float32) * grid.scale
+    chi_he_u = jnp.asarray(chi_he_si, jnp.float32) * grid.scale
+    tally2d = jnp.zeros(n_bins * C, jnp.float32)
+    eps = jnp.float32(1e-5 / max(C ** (1.0 / 3.0), 1.0))
+    tally2d, packets = _trace_voronoi_spectral_jit(
+        jnp.asarray(grid.neighbors), jnp.asarray(grid.normals),
+        jnp.asarray(grid.offsets), jnp.asarray(grid.shifts),
+        chi_h_u, chi_he_u, packets, tally2d, eps, max_steps, n_bins, C,
+    )
+    return (tally2d * grid.scale).reshape(n_bins, C), packets
+
+
+class MultiFreqVoronoiSimulation:
+    """Multi-element photoionization with temperature balance on a Voronoi
+    tessellation — the full ionization machinery on the unstructured grid
+    (the reference plugs VoronoiDensityGrid into the same
+    IonizationSimulation, /root/reference/src/VoronoiDensityGrid.cpp)."""
+
+    def __init__(self, grid: VoronoiGrid, density_fn, *,
+                 source_position, luminosity, n_photons,
+                 abundances=None, spectrum_temperature=40000.0,
+                 do_temperature=True, diffuse_field=False,
+                 n_bins=64, n_reemission_rounds=4,
+                 initial_temperature=8000.0, seed=42):
+        import jax as _jax
+
+        if not _jax.config.jax_enable_x64:
+            _jax.config.update("jax_enable_x64", True)
+        from cmacionize_tpu import constants
+        from cmacionize_tpu.models import ions
+        from cmacionize_tpu.models import reemission as reemission_mod
+        from cmacionize_tpu.ops import cross_sections as xsec_mod
+
+        self.grid = grid
+        self.source_position = source_position
+        self.luminosity = luminosity
+        self.n_photons = n_photons
+        self.abundances = dict(abundances or ions.DEFAULT_ABUNDANCES)
+        self.do_temperature = do_temperature
+        self.diffuse_field = diffuse_field
+        self.n_bins = n_bins
+        self.n_reemission_rounds = n_reemission_rounds
+        self.key = jax.random.PRNGKey(seed)
+
+        nu_min = reemission_mod.NU_MIN
+        self.bin_edges = np.linspace(nu_min, 4.0 * nu_min, n_bins + 1)
+        self.bin_centers = 0.5 * (self.bin_edges[1:] + self.bin_edges[:-1])
+        self.sigma_table = xsec_mod.tabulate_cross_sections(self.bin_centers)
+        self.heating_weights = np.stack([
+            self.sigma_table[ions.ION_H_n]
+            * (self.bin_centers - constants.NU_ION_H),
+            self.sigma_table[ions.ION_He_n]
+            * (self.bin_centers - constants.NU_ION_HE),
+        ])
+        x = (constants.PLANCK * self.bin_centers
+             / (constants.BOLTZMANN * spectrum_temperature))
+        pdf = self.bin_centers**2 / np.expm1(x)
+        cdf = np.cumsum(pdf)
+        self.spectrum_cdf = np.concatenate([[0.0], cdf / cdf[-1]])
+        self.spectra = reemission_mod.ReemissionSpectra.build()
+
+        gen_si = (grid.generators * grid.scale
+                  + np.asarray(grid.geometry.anchor))
+        C = grid.n_cells
+        self.number_density = jnp.asarray(density_fn(gen_si), jnp.float64)
+        self.temperature = jnp.full(C, initial_temperature, jnp.float64)
+        self.xion = {
+            name: jnp.full(C, 1e-6, jnp.float64)
+            for name in ions.ION_NAMES
+        }
+
+    def run(self, n_iterations: int):
+        from cmacionize_tpu import constants
+        from cmacionize_tpu.models import ions, sources
+        from cmacionize_tpu.models import reemission as reemission_mod
+        from cmacionize_tpu.models.multifreq_simulation import (
+            solve_cell_state,
+        )
+        from cmacionize_tpu.ops import traversal
+
+        grid = self.grid
+        C = grid.n_cells
+        AHe = self.abundances["He"]
+        sig_h_tab = jnp.asarray(self.sigma_table[ions.ION_H_n], jnp.float32)
+        sig_he_tab = jnp.asarray(self.sigma_table[ions.ION_He_n], jnp.float32)
+        src_u = ((np.asarray(self.source_position)
+                  - np.asarray(grid.geometry.anchor)) / grid.scale)
+        src_cell = int(grid.locate(src_u)[0])
+        edges32 = jnp.asarray(self.bin_edges, jnp.float32)
+
+        for it in range(n_iterations):
+            self.key, kb, kd, kt, kl = jax.random.split(self.key, 5)
+            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0).astype(jnp.float32)
+            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0).astype(jnp.float32)
+            nd32 = self.number_density.astype(jnp.float32)
+            chi_h = nd32 * xH
+            chi_he = nd32 * AHe * xHe
+
+            xi = jax.random.uniform(kb, (self.n_photons,), jnp.float32)
+            fbin = jnp.clip(
+                jnp.searchsorted(
+                    jnp.asarray(self.spectrum_cdf, jnp.float32), xi) - 1,
+                0, self.n_bins - 1).astype(jnp.int32)
+            ndx, ndy, ndz = sources.isotropic_directions(kd, self.n_photons)
+            tau = sources.sample_tau_targets(kt, self.n_photons)
+            pos = jnp.tile(
+                jnp.asarray(src_u, jnp.float32), (self.n_photons, 1))
+            pk = SpectralVoronoiPacketBatch(
+                pos, jnp.stack([ndx, ndy, ndz], 1),
+                jnp.full(self.n_photons, src_cell, jnp.int32),
+                tau, jnp.ones(self.n_photons, jnp.float32),
+                sig_h_tab[fbin], sig_he_tab[fbin], fbin,
+                jnp.ones(self.n_photons, bool),
+                jnp.zeros(self.n_photons, bool))
+            tally, pk = trace_packets_voronoi_spectral(
+                grid, chi_h, chi_he, pk, n_bins=self.n_bins)
+
+            if self.diffuse_field:
+                T32 = self.temperature.astype(jnp.float32)
+                for gen in range(self.n_reemission_rounds):
+                    kl, kr, kdd, ktt = jax.random.split(kl, 4)
+                    cells = jnp.clip(pk.cell, 0, C - 1)
+                    remask, new_freq = reemission_mod.reemit_batch(
+                        kr, self.spectra, pk.absorbed, pk.sig_h, pk.sig_he,
+                        xH[cells], xHe[cells], T32[cells], AHe)
+                    rdx, rdy, rdz = sources.isotropic_directions(
+                        kdd, pk.size)
+                    rtau = sources.sample_tau_targets(ktt, pk.size)
+                    nbin = jnp.clip(
+                        jnp.searchsorted(edges32, new_freq) - 1,
+                        0, self.n_bins - 1).astype(jnp.int32)
+                    pk = SpectralVoronoiPacketBatch(
+                        pk.pos, jnp.stack([rdx, rdy, rdz], 1), pk.cell,
+                        rtau, pk.weight,
+                        sig_h_tab[nbin], sig_he_tab[nbin], nbin,
+                        remask, jnp.zeros_like(remask))
+                    gen_tally, pk = trace_packets_voronoi_spectral(
+                        grid, chi_h, chi_he, pk, n_bins=self.n_bins)
+                    tally = tally + gen_tally
+
+            integrals = traversal.spectral_tallies_to_ion_integrals(
+                tally.reshape(-1),
+                jnp.asarray(self.sigma_table, jnp.float32),
+                jnp.asarray(self.heating_weights, jnp.float32), C)
+
+            cpu = jax.devices("cpu")[0]
+            integrals = jax.device_put(
+                jax.device_get(integrals), cpu).astype(jnp.float64)
+            volumes = jnp.asarray(grid.volumes, jnp.float64)
+            jfac = self.luminosity / (self.n_photons * volumes)
+            hfac = jfac * constants.PLANCK
+            j = {
+                name: integrals[i] * jfac
+                for i, name in enumerate(ions.ION_NAMES)
+            }
+            h = (integrals[ions.NUMBER_OF_IONS] * hfac,
+                 integrals[ions.NUMBER_OF_IONS + 1] * hfac)
+            nd = jax.device_put(jax.device_get(self.number_density), cpu)
+            do_temp = self.do_temperature and it >= 3
+            self.temperature, self.xion = solve_cell_state(
+                j, h, nd,
+                jax.device_put(jax.device_get(self.temperature), cpu),
+                self.abundances, do_temp)
+        return self.xion, self.temperature
+
+
 # ---------------------------------------------------------------------------
 # H-only ionization driver on a Voronoi grid
 # ---------------------------------------------------------------------------

@@ -237,3 +237,45 @@ def test_cli_voronoi_grid_dispatch(tmp_path, monkeypatch):
 
     out = np.load(tmp_path / "snapshot_cells.npz")
     assert out["neutral_fraction"].shape == (300,)
+
+
+def test_cli_amr_multi_element_dispatch(tmp_path, monkeypatch):
+    """A non-monochromatic spectrum (or T-calculation) on an AMR grid routes
+    to the multi-element driver (full ionization machinery on every grid
+    family, cf. AMRDensityGrid plugging into IonizationSimulation)."""
+    monkeypatch.chdir(tmp_path)
+    param_file = tmp_path / "amr_mf.param"
+    param_file.write_text(
+        "SimulationBox:\n"
+        "  anchor: [-5. pc, -5. pc, -5. pc]\n"
+        "  sides: [10. pc, 10. pc, 10. pc]\n"
+        "DensityGrid:\n"
+        "  type: AMR\n"
+        "  number of cells: [8, 8, 8]\n"
+        "  AMRRefinementScheme:\n"
+        "    type: Opacity\n"
+        "    target opacity: 1.e-18 m^-1\n"
+        "    maximum refinement level: 1\n"
+        "DensityFunction:\n"
+        "  density: 100. cm^-3\n"
+        "PhotonSourceDistribution:\n"
+        "  position: [0. m, 0. m, 0. m]\n"
+        "  luminosity: 4.26e49 s^-1\n"
+        "PhotonSourceSpectrum:\n"
+        "  type: Planck\n"
+        "  temperature: 40000. K\n"
+        "TemperatureCalculator:\n"
+        "  do temperature calculation: true\n"
+        "IonizationSimulation:\n"
+        "  number of photons: 5000\n"
+        "  number of iterations: 5\n"
+    )
+    from cmacionize_tpu import cli
+
+    assert cli.main(["--params", str(param_file)]) == 0
+    import numpy as np
+
+    out = np.load(tmp_path / "snapshot_cells.npz")
+    assert "temperature" in out and "neutral_fraction_He" in out
+    assert (out["temperature"] > 0).all()
+    assert out["neutral_fraction"].min() < 0.1  # ionized core exists
