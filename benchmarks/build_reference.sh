@@ -1,0 +1,70 @@
+#!/bin/bash
+# Build the C++ reference (bwvdnbro/CMacIonize, mounted read-only at
+# /root/reference) into /tmp/cmi_build for side-by-side benchmark
+# comparisons (benchmarks/compare_reference.py, benchmarks/RESULTS.md).
+#
+# Two deviations from a stock build, both required by this environment:
+#  1. dummy archives for the four atmosphere-spectrum data files that are
+#     absent from the mounted reference (wmbasic/pegase3/PopStar/
+#     CastelliKurucz — none are used by the stromgren/lexington/starbench/
+#     bondi benchmark runs; their readers are never constructed);
+#  2. a validation patch extending AsciiFileDensityGridWriter's classic
+#     overload with temperature + ionic-fraction columns
+#     (T, xHe, xO, xOp, xCp, xN) so the multi-element comparison harness
+#     can read the reference's state without HDF5.
+set -e
+
+SRC=/tmp/cmi_src
+BUILD=/tmp/cmi_build
+rm -rf "$SRC" "$BUILD"
+cp -r /root/reference "$SRC"
+chmod -R u+w "$SRC"
+
+for f in wmbasic.tar.gz pegase3_chab.tar.gz PopStar.tar.gz; do
+  [ -f "$SRC/data/$f" ] || tar -czf "$SRC/data/$f" -T /dev/null
+done
+[ -f "$SRC/data/CastelliKurucz.hdf5" ] || : > "$SRC/data/CastelliKurucz.hdf5"
+
+python3 - "$SRC" <<'EOF'
+import sys
+
+src = sys.argv[1] + "/src/AsciiFileDensityGridWriter.cpp"
+text = open(src).read()
+old = """    file << x.x() << "\\t" << x.y() << "\\t" << x.z() << "\\t" << n << "\\t"
+         << volume << "\\t" << frac << "\\n";
+  }
+}
+
+/**
+ * @brief Write a snapshot for a split grid."""
+new = """    file << x.x() << "\\t" << x.y() << "\\t" << x.z() << "\\t" << n << "\\t"
+         << volume << "\\t" << frac << "\\t"
+         << it.get_ionization_variables().get_temperature() << "\\t"
+         << it.get_ionization_variables().get_ionic_fraction(ION_He_n) << "\\t"
+         << it.get_ionization_variables().get_ionic_fraction(ION_O_n) << "\\t"
+         << it.get_ionization_variables().get_ionic_fraction(ION_O_p1) << "\\t"
+         << it.get_ionization_variables().get_ionic_fraction(ION_C_p1) << "\\t"
+         << it.get_ionization_variables().get_ionic_fraction(ION_N_n) << "\\n";
+  }
+}
+
+/**
+ * @brief Write a snapshot for a split grid."""
+assert old in text, "AsciiFileDensityGridWriter patch anchor not found"
+open(src, "w").write(text.replace(old, new))
+print("patched", src)
+EOF
+
+# the mounted reference is not a git checkout; CMake derives its version
+# string from `git describe`, so give the copy a tagged throwaway history
+if [ ! -d "$SRC/.git" ]; then
+  (cd "$SRC" && git init -q && git add -A &&
+   git -c user.email=build@local -c user.name=build commit -qm "build copy" &&
+   git tag v2.0)
+fi
+
+mkdir -p "$BUILD"
+cd "$BUILD"
+cmake "$SRC" -DCMAKE_BUILD_TYPE=Release >/dev/null
+make -j"$(nproc)" CMacIonize 2>&1 | tail -3
+echo "reference binary: $BUILD/rundir/CMacIonize"

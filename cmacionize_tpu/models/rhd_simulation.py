@@ -170,6 +170,7 @@ class RHDSimulation:
         )
         self._source_set_gpos = None  # evolving source positions (device)
         self._step_jit = jax.jit(self._step)
+        self._chunk_jit = None  # lazily-built fused multi-step scan
 
     # ----------------------------------------------------------- from_params
 
@@ -617,6 +618,50 @@ class RHDSimulation:
         cfg = self.config
         if n_steps is None:
             n_steps = int(round(cfg.total_time / cfg.timestep))
+
+        # Fused fast path: with no per-step side effects, advance in
+        # ``log_every``-sized lax.scan chunks — ONE dispatch per chunk
+        # instead of one per step (the per-step host round trips dominate
+        # the wall clock through the relay; RNG split chain identical to
+        # the per-step loop, so results are bit-identical).
+        if (
+            self.source_distribution is None
+            and restart_manager is None
+            and statistics is None
+            and n_steps >= 4
+        ):
+            chunk = max(1, min(log_every, 64))
+            if self._chunk_jit is None:
+                @functools.partial(jax.jit, static_argnames=("length",))
+                def run_chunk(key, u, xh, length):
+                    def body(carry, _):
+                        key, u, xh = carry
+                        key, sub = jax.random.split(key)
+                        u, xh = self._step(sub, u, xh)
+                        return (key, u, xh), None
+
+                    (key, u, xh), _ = jax.lax.scan(
+                        body, (key, u, xh), None, length=length)
+                    return key, u, xh
+
+                self._chunk_jit = run_chunk
+            done = 0
+            while done < n_steps and not signals.stop_requested():
+                todo = min(chunk, n_steps - done)
+                self.key, self.state, self.neutral_fraction = self._chunk_jit(
+                    self.key, self.state, self.neutral_fraction, todo)
+                done += todo
+                self.time += todo * cfg.timestep
+                w = hydro.primitives_from_conserved(self.state, cfg.gamma)
+                self.log.info(
+                    f"step {done}/{n_steps} t={self.time / 3.156e13:.4f} Myr "
+                    f"max|v|={float(jnp.max(jnp.abs(w.vx))):.3g} m/s "
+                    f"<xH>={float(jnp.mean(self.neutral_fraction)):.3f}"
+                )
+            if signals.stop_requested():
+                self.log.warning("graceful stop requested; exiting time loop")
+            return self.state, self.neutral_fraction
+
         for step in range(n_steps):
             if self.source_distribution is not None:
                 # time-dependent population + SN stellar feedback

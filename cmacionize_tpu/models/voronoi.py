@@ -143,6 +143,7 @@ class VoronoiGrid:
     normals: np.ndarray  # [C, K, 3] f32 unit outward face normals
     offsets: np.ndarray  # [C, K] f32 plane offsets n·m
     shifts: np.ndarray  # [C, K, 3] f32 position jump on crossing (periodic)
+    areas: np.ndarray = None  # [C, K] f32 face areas (box units²)
 
     @property
     def n_cells(self) -> int:
@@ -191,6 +192,27 @@ def build_voronoi_grid(
     return grid_data
 
 
+def _polygon_area(verts: np.ndarray) -> float:
+    """Area of a planar convex polygon given its (unordered) 3D vertices."""
+    if len(verts) < 3:
+        return 0.0
+    c = verts.mean(axis=0)
+    rel = verts - c
+    # plane basis from the two largest principal directions
+    normal = np.cross(rel[1] - rel[0], rel[2] - rel[0])
+    nn = np.linalg.norm(normal)
+    if nn < 1e-300:
+        return 0.0
+    normal /= nn
+    e1 = rel[0] / max(np.linalg.norm(rel[0]), 1e-300)
+    e2 = np.cross(normal, e1)
+    ang = np.arctan2(rel @ e2, rel @ e1)
+    order = np.argsort(ang)
+    rel = rel[order]
+    cross = np.cross(rel, np.roll(rel, -1, axis=0))
+    return 0.5 * abs(float(np.sum(cross @ normal)))
+
+
 def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
     from scipy.spatial import Voronoi
 
@@ -237,7 +259,7 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
     allpts = np.concatenate(ext, axis=0)
     vor = Voronoi(allpts)
 
-    faces = [[] for _ in range(n)]  # per cell: (nbr, normal, offset, shift)
+    faces = [[] for _ in range(n)]  # per cell: (nbr, normal, offset, shift, A)
     for (p, q), ridge_verts in zip(vor.ridge_points, vor.ridge_vertices):
         for a, b in ((p, q), (q, p)):
             if a >= n:
@@ -256,19 +278,25 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
             else:
                 is_wall, shift = image_meta[(b - n) // n]
                 nbr = -1 if is_wall else int(b % n)
-            faces[a].append((nbr, normal, offset, shift))
+            if -1 in ridge_verts:
+                area = 0.0  # unbounded far-image ridge (never a real face)
+            else:
+                area = _polygon_area(vor.vertices[ridge_verts])
+            faces[a].append((nbr, normal, offset, shift, area))
 
     k_max = max(len(f) for f in faces)
     neighbors = np.full((n, k_max), -2, np.int32)
     normals = np.zeros((n, k_max, 3), np.float32)
     offsets = np.zeros((n, k_max), np.float32)
     shifts = np.zeros((n, k_max, 3), np.float32)
+    areas = np.zeros((n, k_max), np.float32)
     for i, f in enumerate(faces):
-        for k, (nbr, normal, offset, shift) in enumerate(f):
+        for k, (nbr, normal, offset, shift, area) in enumerate(f):
             neighbors[i, k] = nbr
             normals[i, k] = normal
             offsets[i, k] = offset
             shifts[i, k] = shift
+            areas[i, k] = area
 
     volumes = np.empty(n)
     centroids = np.empty((n, 3))
@@ -284,6 +312,7 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
         geometry=geometry, scale=scale, generators=pts,
         volumes=volumes, centroids=centroids,
         neighbors=neighbors, normals=normals, offsets=offsets, shifts=shifts,
+        areas=areas,
     )
 
 

@@ -1,0 +1,364 @@
+"""Moving-mesh finite-volume hydrodynamics on the Voronoi grid.
+
+Equivalent of the reference's Voronoi hydro mode — VoronoiDensityGrid's
+`set_grid_velocity`/`evolve` moving-mesh support
+(/root/reference/src/VoronoiDensityGrid.hpp:87-88, .cpp:205-290) plugged
+into the HydroIntegrator — redesigned for the TPU split used throughout the
+Voronoi family: *re-tessellation on the host* (scipy Qhull, like the
+reference's grid construction), *flux computation on device* over the padded
+cell-graph arrays.
+
+Scheme (first-order Godunov, moving faces):
+
+* state is EXTENSIVE per cell (mass, momentum, energy totals) — on a moving
+  mesh the cell volumes change every step, conserved totals ride along with
+  their generator;
+* per face: the HLLC flux is solved in the face frame (normal velocities
+  shifted by the face speed w_n = ½(v_i + v_j)·n̂) and de-boosted back,
+  F = F' + w_n·(0, m', …, F'_un + ½w_n m') — the Galilean transform the
+  reference applies at HLLCRiemannSolver.hpp:309-313;
+* wall faces use the mirror state (reflective boundary);
+* `evolve` drifts the generators with the grid velocity and re-tessellates;
+  primitives are re-derived from the unchanged totals and the new volumes.
+
+Documented deltas vs the reference: first-order (no gradient
+reconstruction) on the unstructured mesh, and per-row flux evaluation (each
+face computed from both sides; HLLC's L/R symmetry makes the two values
+equal to f32 round-off rather than bit-exactly shared).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmacionize_tpu.models.voronoi import VoronoiGrid, _tessellate
+from cmacionize_tpu.ops import riemann
+
+
+class VoronoiHydroState(NamedTuple):
+    """Extensive conserved totals per cell (SI: kg, kg m/s, J)."""
+
+    mass: jnp.ndarray
+    mom_x: jnp.ndarray
+    mom_y: jnp.ndarray
+    mom_z: jnp.ndarray
+    energy: jnp.ndarray
+
+
+def conserved_from_primitives(rho, vx, vy, vz, p, volumes, gamma):
+    volumes = jnp.asarray(volumes, jnp.float32)
+    mass = rho * volumes
+    return VoronoiHydroState(
+        mass=mass,
+        mom_x=mass * vx,
+        mom_y=mass * vy,
+        mom_z=mass * vz,
+        energy=(p / (gamma - 1.0) + 0.5 * rho * (vx**2 + vy**2 + vz**2))
+        * volumes,
+    )
+
+
+def primitives_from_conserved(state: VoronoiHydroState, volumes, gamma):
+    volumes = jnp.asarray(volumes, jnp.float32)
+    rho = state.mass / volumes
+    inv_m = 1.0 / jnp.maximum(state.mass, 1e-300)
+    vx = state.mom_x * inv_m
+    vy = state.mom_y * inv_m
+    vz = state.mom_z * inv_m
+    ekin = 0.5 * (state.mom_x * vx + state.mom_y * vy + state.mom_z * vz)
+    p = jnp.maximum((state.energy - ekin) / volumes * (gamma - 1.0), 1e-30)
+    return rho, vx, vy, vz, p
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def _voronoi_flux_update(
+    neighbors, normals, areas_si, volumes, state, gen_vel, dt, gamma,
+):
+    """One first-order moving-face Godunov update of the extensive state."""
+    rho, vx, vy, vz, p = primitives_from_conserved(state, volumes, gamma)
+
+    nbr = neighbors  # [C, K]
+    safe_nbr = jnp.maximum(nbr, 0)
+    is_cell = nbr >= 0
+    is_wall = nbr == -1
+
+    def gather(f):
+        return f[safe_nbr]  # [C, K]
+
+    # face basis: n̂ plus two tangents
+    n = normals  # [C, K, 3]
+    t1 = jnp.stack([-n[..., 1], n[..., 0], jnp.zeros_like(n[..., 0])], -1)
+    degen = jnp.linalg.norm(t1, axis=-1, keepdims=True) < 1e-6
+    t1 = jnp.where(
+        degen,
+        jnp.stack([jnp.zeros_like(n[..., 0]), -n[..., 2], n[..., 1]], -1),
+        t1,
+    )
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-30)
+    t2 = jnp.cross(n, t1)
+
+    def project(fx, fy, fz):
+        v = jnp.stack([fx, fy, fz], -1)
+        return (
+            jnp.einsum("ckd,ckd->ck", v, n),
+            jnp.einsum("ckd,ckd->ck", v, t1),
+            jnp.einsum("ckd,ckd->ck", v, t2),
+        )
+
+    # left (own) state on every face
+    rhoL = rho[:, None] * jnp.ones_like(areas_si)
+    pL = p[:, None] * jnp.ones_like(areas_si)
+    vL = (vx[:, None] * jnp.ones_like(areas_si),
+          vy[:, None] * jnp.ones_like(areas_si),
+          vz[:, None] * jnp.ones_like(areas_si))
+    uL, ut1L, ut2L = project(*vL)
+
+    # right (neighbor) state; wall → mirror (flip normal velocity)
+    rhoR = jnp.where(is_cell, gather(rho), rhoL)
+    pR = jnp.where(is_cell, gather(p), pL)
+    uRn, ut1R, ut2R = project(gather(vx), gather(vy), gather(vz))
+    uR = jnp.where(is_cell, uRn, -uL)
+    ut1R = jnp.where(is_cell, ut1R, ut1L)
+    ut2R = jnp.where(is_cell, ut2R, ut2L)
+
+    # face speed along the normal (moving mesh); walls don't move
+    gvn, _, _ = project(
+        gen_vel[:, 0][:, None] * jnp.ones_like(areas_si),
+        gen_vel[:, 1][:, None] * jnp.ones_like(areas_si),
+        gen_vel[:, 2][:, None] * jnp.ones_like(areas_si),
+    )
+    gvn_nbr, _, _ = project(
+        gather(gen_vel[:, 0]), gather(gen_vel[:, 1]), gather(gen_vel[:, 2])
+    )
+    w_n = jnp.where(is_cell, 0.5 * (gvn + gvn_nbr), 0.0)
+
+    flux = riemann.hllc_flux(
+        rhoL, uL - w_n, ut1L, ut2L, pL,
+        rhoR, uR - w_n, ut1R, ut2R, pR,
+        gamma=gamma,
+    )
+    f_rho, f_un, f_ut1, f_ut2, f_e = (
+        flux.mass, flux.mom_n, flux.mom_t1, flux.mom_t2, flux.energy)
+    # de-boost to the lab frame
+    f_e = f_e + w_n * (f_un + 0.5 * w_n * f_rho)
+    f_un = f_un + w_n * f_rho
+
+    # rotate momentum flux back to xyz
+    fm = (
+        f_un[..., None] * n + f_ut1[..., None] * t1 + f_ut2[..., None] * t2
+    )
+
+    active = (is_cell | is_wall).astype(f_rho.dtype)
+    wA = areas_si * active * dt
+    d_mass = -jnp.sum(f_rho * wA, axis=1)
+    d_mom = -jnp.sum(fm * wA[..., None], axis=1)
+    d_energy = -jnp.sum(f_e * wA, axis=1)
+    return VoronoiHydroState(
+        mass=state.mass + d_mass,
+        mom_x=state.mom_x + d_mom[:, 0],
+        mom_y=state.mom_y + d_mom[:, 1],
+        mom_z=state.mom_z + d_mom[:, 2],
+        energy=state.energy + d_energy,
+    )
+
+
+def voronoi_hydro_step(
+    grid: VoronoiGrid,
+    state: VoronoiHydroState,
+    gen_velocities_si,  # [C, 3] m/s — the grid velocity (set_grid_velocity)
+    dt: float,
+    gamma: float = 5.0 / 3.0,
+) -> VoronoiHydroState:
+    """Advance the extensive state one step on the (possibly moving) mesh."""
+    areas_si = jnp.asarray(grid.areas, jnp.float32) * grid.scale**2
+    return _voronoi_flux_update(
+        jnp.asarray(grid.neighbors),
+        jnp.asarray(grid.normals),
+        areas_si,
+        jnp.asarray(grid.volumes, jnp.float32),
+        state,
+        jnp.asarray(gen_velocities_si, jnp.float32),
+        jnp.float32(dt),
+        gamma,
+    )
+
+
+def evolve_voronoi_grid(
+    grid: VoronoiGrid, gen_velocities_si, dt: float
+) -> VoronoiGrid:
+    """Drift the generators with the grid velocity and re-tessellate.
+
+    The VoronoiDensityGrid::evolve equivalent
+    (/root/reference/src/VoronoiDensityGrid.cpp:205-290): generators move,
+    the mesh is rebuilt, cell totals ride along with their generator.
+    Non-periodic axes clamp generators inside the box (the reference keeps
+    them in the box the same way); periodic axes wrap.
+    """
+    sides = np.asarray(grid.geometry.sides, np.float64)
+    box = sides / grid.scale
+    pts = grid.generators + np.asarray(gen_velocities_si) * dt / grid.scale
+    eps = 1e-6
+    for axis in range(3):
+        if grid.geometry.periodic[axis]:
+            pts[:, axis] = np.mod(pts[:, axis], box[axis])
+        else:
+            pts[:, axis] = np.clip(
+                pts[:, axis], eps * box[axis], (1.0 - eps) * box[axis])
+    return _tessellate(grid.geometry, pts, box, grid.scale)
+
+
+def grid_velocity_from_fluid(
+    grid: VoronoiGrid, state: VoronoiHydroState, gamma: float,
+    damp: float = 1.0,
+) -> np.ndarray:
+    """set_grid_velocity: generators follow the local fluid velocity
+    (cf. VoronoiDensityGrid::set_grid_velocity — the reference sets the
+    generator velocity to the cell's fluid velocity)."""
+    _, vx, vy, vz, _ = primitives_from_conserved(
+        state, jnp.asarray(grid.volumes, jnp.float32), gamma)
+    return damp * np.stack(
+        [np.asarray(vx), np.asarray(vy), np.asarray(vz)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Coupled RHD on the Voronoi grid (the starbench_voronoi benchmark class,
+# /root/reference/benchmarks/starbench_voronoi.param)
+# ---------------------------------------------------------------------------
+
+
+class VoronoiRHDSimulation:
+    """Coupled MC photoionization + finite-volume hydro on a Voronoi mesh.
+
+    The Voronoi counterpart of RHDSimulation: per fixed-dt step, nloop MC
+    ionization iterations over the cell graph → two-temperature ionization/
+    energy coupling (HydroIntegrator.hpp:1288-1339, per-cell on the
+    extensive state) → the moving-face Godunov update.  ``mesh_motion``
+    turns on the Lagrangian mesh (generators follow the fluid, host
+    re-tessellation per step).
+    """
+
+    def __init__(self, grid: VoronoiGrid, *, gamma, timestep, luminosity,
+                 source_position, cross_section, recombination_rate,
+                 n_photons, nloop, number_density, temperature,
+                 neutral_temperature=100.0, ionised_temperature=1.0e4,
+                 shock_temperature=3.0e4, mesh_motion=False, seed=42):
+        from cmacionize_tpu import constants
+
+        self.grid = grid
+        self.gamma = float(gamma)
+        self.dt = float(timestep)
+        self.luminosity = luminosity
+        self.source_position = np.asarray(source_position, float)
+        self.sigma = cross_section
+        self.alpha = recombination_rate
+        self.n_photons = n_photons
+        self.nloop = nloop
+        self.neutral_temperature = neutral_temperature
+        self.ionised_temperature = ionised_temperature
+        self.shock_temperature = shock_temperature
+        self.mesh_motion = bool(mesh_motion)
+        self.key = jax.random.PRNGKey(seed)
+
+        C = grid.n_cells
+        rho0 = number_density * constants.PROTON_MASS
+        p0 = number_density * constants.BOLTZMANN * temperature
+        self.state = conserved_from_primitives(
+            jnp.full(C, rho0, jnp.float32), jnp.zeros(C, jnp.float32),
+            jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32),
+            jnp.full(C, p0, jnp.float32), grid.volumes, self.gamma)
+        self.neutral_fraction = jnp.ones(C, jnp.float32)
+        self.time = 0.0
+
+    def _radiation(self, key):
+        from cmacionize_tpu import constants
+        from cmacionize_tpu.models.voronoi import (
+            VoronoiPacketBatch, trace_packets_voronoi,
+        )
+        from cmacionize_tpu.ops import ionization
+
+        grid = self.grid
+        nd = self.state.mass / (
+            jnp.asarray(grid.volumes, jnp.float32) * constants.PROTON_MASS)
+        src_u = ((self.source_position - np.asarray(grid.geometry.anchor))
+                 / grid.scale)
+        src_cell = int(grid.locate(src_u)[0])
+        jfac = jnp.asarray(
+            self.luminosity * self.sigma
+            / (self.n_photons * np.asarray(grid.volumes, np.float64)),
+            jnp.float32)
+        xh = self.neutral_fraction
+        for _ in range(self.nloop):
+            key, k1, k2 = jax.random.split(key, 3)
+            dirn = jax.random.normal(k1, (self.n_photons, 3))
+            dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+            tau = -jnp.log(1.0 - jax.random.uniform(k2, (self.n_photons,)))
+            pos = jnp.tile(jnp.asarray(src_u, jnp.float32),
+                           (self.n_photons, 1))
+            packets = VoronoiPacketBatch(
+                pos, dirn.astype(jnp.float32),
+                jnp.full(self.n_photons, src_cell, jnp.int32),
+                tau.astype(jnp.float32),
+                jnp.ones(self.n_photons, jnp.float32),
+                jnp.ones(self.n_photons, bool),
+                jnp.zeros(self.n_photons, bool))
+            chi_si = nd * xh * self.sigma
+            tally, _ = trace_packets_voronoi(grid, chi_si, packets)
+            xh = ionization.hydrogen_neutral_fraction(
+                tally * jfac, nd, self.alpha)
+        return xh
+
+    def _couple(self, state, xh):
+        """Two-temperature ionization → energy coupling (heating only),
+        per cell on the extensive state."""
+        from cmacionize_tpu import constants
+
+        volumes = jnp.asarray(self.grid.volumes, jnp.float32)
+        rho = state.mass / volumes
+        k_over_mp = constants.BOLTZMANN / constants.PROTON_MASS
+        inv_m = 1.0 / jnp.maximum(state.mass, 1e-300)
+        vx = state.mom_x * inv_m
+        vy = state.mom_y * inv_m
+        vz = state.mom_z * inv_m
+        ekin = 0.5 * (state.mom_x * vx + state.mom_y * vy + state.mom_z * vz)
+        u_spec = jnp.maximum(
+            (state.energy - ekin) / jnp.maximum(state.mass, 1e-300), 0.0)
+        T_target = (self.ionised_temperature * (1.0 - xh)
+                    + self.neutral_temperature * xh)
+        ufac = 2.0 * k_over_mp / ((self.gamma - 1.0) * (1.0 + xh))
+        T_old = u_spec / jnp.maximum(ufac, 1e-300)
+        du = ufac * T_target - u_spec
+        heat = jnp.where(
+            (du > 0.0) & (T_old < self.shock_temperature), du, 0.0)
+        return state._replace(energy=state.energy + heat * state.mass)
+
+    def run(self, n_steps, log=None):
+        for step in range(n_steps):
+            self.key, sub = jax.random.split(self.key)
+            if self.nloop > 0:
+                self.neutral_fraction = self._radiation(sub)
+                self.state = self._couple(self.state, self.neutral_fraction)
+            if self.mesh_motion:
+                vel = grid_velocity_from_fluid(
+                    self.grid, self.state, self.gamma)
+            else:
+                vel = np.zeros((self.grid.n_cells, 3), np.float32)
+            self.state = voronoi_hydro_step(
+                self.grid, self.state, vel, self.dt, self.gamma)
+            if self.mesh_motion:
+                self.grid = evolve_voronoi_grid(self.grid, vel, self.dt)
+            self.time += self.dt
+            if log is not None and (step + 1) % 32 == 0:
+                log(f"step {step + 1}/{n_steps} "
+                    f"<xH>={float(jnp.mean(self.neutral_fraction)):.3f}")
+        return self.state, self.neutral_fraction
+
+    def ionization_front_radius(self) -> float:
+        """Radius of the sphere with the ionized volume (m)."""
+        xh = np.asarray(self.neutral_fraction)
+        v_ion = float(((xh < 0.5) * np.asarray(self.grid.volumes)).sum())
+        return (3.0 * v_ion / (4.0 * np.pi)) ** (1.0 / 3.0)

@@ -1,0 +1,131 @@
+"""Moving-mesh Voronoi hydrodynamics (VERDICT r2 ask #7): evolve /
+set_grid_velocity equivalents + the first-order moving-face Godunov scheme
+(/root/reference/src/VoronoiDensityGrid.hpp:87-88, .cpp:205-290)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmacionize_tpu.models import voronoi, voronoi_hydro
+from cmacionize_tpu.models.grid import GridGeometry
+
+GAMMA = 5.0 / 3.0
+
+
+def _uniform_state(grid, rho0, p0, v0):
+    C = grid.n_cells
+    return voronoi_hydro.conserved_from_primitives(
+        jnp.full(C, rho0, jnp.float32),
+        jnp.full(C, v0[0], jnp.float32),
+        jnp.full(C, v0[1], jnp.float32),
+        jnp.full(C, v0[2], jnp.float32),
+        jnp.full(C, p0, jnp.float32),
+        grid.volumes, GAMMA,
+    )
+
+
+def test_uniform_advection_invariance_moving_mesh():
+    """A uniform flow on a mesh moving WITH the flow must stay exactly
+    uniform: the face-frame Riemann problems are trivial (uL' = uR' = 0) and
+    the de-boosted fluxes reduce to pure advection that cancels cell-wise."""
+    geometry = GridGeometry((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (8, 8, 8),
+                            periodic=(True, True, True))
+    rng = np.random.default_rng(21)
+    grid = voronoi.build_voronoi_grid(geometry, rng.random((300, 3)),
+                                      num_lloyd=1)
+    rho0, p0 = 1.0, 1.0
+    v0 = (0.3, 0.1, -0.05)
+    state = _uniform_state(grid, rho0, p0, v0)
+    vel = np.tile(np.asarray(v0, np.float32), (grid.n_cells, 1))
+
+    m0 = float(jnp.sum(state.mass))
+    dt = 0.02
+    for _ in range(5):
+        state = voronoi_hydro.voronoi_hydro_step(grid, state, vel, dt, GAMMA)
+        new_grid = voronoi_hydro.evolve_voronoi_grid(grid, vel, dt)
+        grid = new_grid
+    rho, vx, vy, vz, p = voronoi_hydro.primitives_from_conserved(
+        state, jnp.asarray(grid.volumes, jnp.float32), GAMMA)
+    # mass exactly conserved; primitives stay uniform to f32 round-off
+    assert float(jnp.sum(state.mass)) == pytest.approx(m0, rel=1e-6)
+    assert float(jnp.std(rho)) < 2e-3 * rho0
+    assert float(jnp.std(p)) < 5e-3 * p0
+    np.testing.assert_allclose(np.asarray(vx), v0[0], atol=2e-3)
+
+
+def test_static_mesh_conservation_reflective_box():
+    geometry = GridGeometry((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (8, 8, 8))
+    rng = np.random.default_rng(22)
+    grid = voronoi.build_voronoi_grid(geometry, rng.random((400, 3)),
+                                      num_lloyd=1)
+    # central overpressure blast
+    r = np.linalg.norm(grid.generators - 0.5, axis=1)
+    p = np.where(r < 0.2, 10.0, 1.0).astype(np.float32)
+    C = grid.n_cells
+    state = voronoi_hydro.conserved_from_primitives(
+        jnp.ones(C, jnp.float32), jnp.zeros(C, jnp.float32),
+        jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32),
+        jnp.asarray(p), grid.volumes, GAMMA)
+    vel = np.zeros((C, 3), np.float32)
+    m0 = float(jnp.sum(state.mass))
+    e0 = float(jnp.sum(state.energy))
+    for _ in range(20):
+        state = voronoi_hydro.voronoi_hydro_step(
+            grid, state, vel, 0.005, GAMMA)
+    assert float(jnp.sum(state.mass)) == pytest.approx(m0, rel=1e-5)
+    assert float(jnp.sum(state.energy)) == pytest.approx(e0, rel=1e-4)
+    rho, *_ = voronoi_hydro.primitives_from_conserved(
+        state, jnp.asarray(grid.volumes, jnp.float32), GAMMA)
+    assert np.isfinite(np.asarray(rho)).all()
+    # the blast pushed mass outward
+    inner = r < 0.2
+    assert float(jnp.sum(state.mass[jnp.asarray(inner)])) < m0 * inner.mean()
+
+
+def test_sod_tube_on_voronoi_matches_exact():
+    """1D Sod shock tube on an unstructured mesh vs the exact solution
+    (coarse first-order tolerance)."""
+    from cmacionize_tpu.ops import riemann
+
+    geometry = GridGeometry((0.0, 0.0, 0.0), (1.0, 0.25, 0.25),
+                            (32, 8, 8))
+    rng = np.random.default_rng(23)
+    gens = voronoi.perturbed_cartesian_generators((48, 12, 12), 0.2, rng)
+    grid = voronoi.build_voronoi_grid(geometry, gens, num_lloyd=1)
+    gen_si = grid.generators * grid.scale  # anchor is 0
+    x = gen_si[:, 0]
+    C = grid.n_cells
+    left = x < 0.5
+    state = voronoi_hydro.conserved_from_primitives(
+        jnp.asarray(np.where(left, 1.0, 0.125), jnp.float32),
+        jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32),
+        jnp.zeros(C, jnp.float32),
+        jnp.asarray(np.where(left, 1.0, 0.1), jnp.float32),
+        grid.volumes, GAMMA)
+    vel = np.zeros((C, 3), np.float32)
+    t_end, dt = 0.2, 0.002
+    for _ in range(int(t_end / dt)):
+        state = voronoi_hydro.voronoi_hydro_step(grid, state, vel, dt, GAMMA)
+    rho, *_ = voronoi_hydro.primitives_from_conserved(
+        state, jnp.asarray(grid.volumes, jnp.float32), GAMMA)
+    s = jnp.asarray((x - 0.5) / t_end, jnp.float32)
+    rho_ex, _, _ = riemann.exact_sample(
+        jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(1.0),
+        jnp.asarray(0.125), jnp.asarray(0.0), jnp.asarray(0.1),
+        s, gamma=GAMMA)
+    sel = (x > 0.05) & (x < 0.95)
+    l1 = float(np.abs(np.asarray(rho)[sel] - np.asarray(rho_ex)[sel]).mean())
+    assert l1 < 0.05, f"Sod-on-Voronoi L1 density error {l1}"
+
+
+def test_face_areas_close_cells():
+    """Σ_k A_k n̂_k = 0 for interior closed cells (surface divergence)."""
+    geometry = GridGeometry((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (8, 8, 8))
+    rng = np.random.default_rng(24)
+    grid = voronoi.build_voronoi_grid(geometry, rng.random((200, 3)),
+                                      num_lloyd=2)
+    valid = grid.neighbors != -2
+    closure = np.einsum(
+        "ck,ckd->cd", grid.areas * valid, grid.normals)
+    scale = np.asarray(grid.areas).sum(1)
+    assert np.abs(closure).max() / scale.mean() < 1e-3
