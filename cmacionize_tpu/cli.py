@@ -452,6 +452,11 @@ def main(argv=None):
              "block; -1 = all available)",
     )
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--memory-log", action="store_true",
+        help="write memory.txt + memory_timeline.txt (named allocation "
+             "snapshots, cf. the reference's MemoryLogger)",
+    )
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument(
         "--dry", action="store_true", help="parse configuration and exit"
@@ -466,6 +471,13 @@ def main(argv=None):
         log.status(f"loaded parameter file {args.params} "
                    f"(md5: {params.checksum})")
 
+    memory_log = None
+    if args.memory_log:
+        from cmacionize_tpu.utils.memory import MemoryLogger
+
+        memory_log = MemoryLogger()
+        memory_log.snapshot("after parameter parsing")
+
     t0 = time.time()
     if args.dry:
         log.status("dry run: configuration parsed OK")
@@ -479,6 +491,10 @@ def main(argv=None):
     else:
         _run_ionization(params, log, args.seed, n_devices_flag=args.devices)
 
+    if memory_log is not None:
+        memory_log.snapshot("after simulation")
+        memory_log.write()
+        log.status("memory snapshots → memory.txt, memory_timeline.txt")
     if args.params:
         used = os.path.basename(args.params) + ".used-values"
         params.write_used_values(used)

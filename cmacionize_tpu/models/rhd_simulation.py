@@ -604,6 +604,7 @@ class RHDSimulation:
         log_every: int = 50,
         restart_manager=None,
         statistics=None,
+        diagnostics=None,
     ):
         """Advance the simulation.
 
@@ -611,6 +612,10 @@ class RHDSimulation:
         are written on its wall-clock cadence and on SIGINT (graceful stop,
         cf. the reference's RestartManager + Signals integration).
         ``statistics``: optional utils.statistics.StatisticsLogger.
+        ``diagnostics``: optional utils.diagnostics.IterationDiagnostics —
+        per-step counter/phase dumps (forces the per-step path so phases
+        are measurable; cf. TaskBasedRadiationHydrodynamicsSimulation's
+        per-step diagnostics output).
         """
         from cmacionize_tpu.utils import signals
 
@@ -628,6 +633,7 @@ class RHDSimulation:
             self.source_distribution is None
             and restart_manager is None
             and statistics is None
+            and diagnostics is None
             and n_steps >= 4
         ):
             chunk = max(1, min(log_every, 64))
@@ -696,9 +702,20 @@ class RHDSimulation:
                             f"injected {len(sne)} supernova(e) at "
                             f"t={self.time:.3e} s")
             self.key, subkey = jax.random.split(self.key)
-            self.state, self.neutral_fraction = self._step_jit(
-                subkey, self.state, self.neutral_fraction
-            )
+            if diagnostics is not None:
+                with diagnostics.phase("step"):
+                    self.state, self.neutral_fraction = self._step_jit(
+                        subkey, self.state, self.neutral_fraction
+                    )
+                    jax.block_until_ready(self.state.rho)
+                diagnostics.count("steps", 1)
+                diagnostics.count(
+                    "photons emitted", cfg.n_photons * cfg.nloop)
+                diagnostics.end_iteration()
+            else:
+                self.state, self.neutral_fraction = self._step_jit(
+                    subkey, self.state, self.neutral_fraction
+                )
             self.time += cfg.timestep
             if (step + 1) % log_every == 0 or step == n_steps - 1:
                 w = hydro.primitives_from_conserved(self.state, cfg.gamma)

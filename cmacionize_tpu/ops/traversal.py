@@ -25,12 +25,37 @@ frequency-dependent path (per-packet cross sections) lives in
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _EPS_DIR = 1e-12
+
+#: Debug invariant checks in the hot kernels — the cmac_assert equivalents
+#: the reference compiles into its traversal loop in debug builds
+#: (/root/reference/src/DensitySubGrid.hpp:1140-1222).  Enable with
+#: CMI_DEBUG_CHECKS=1 (or set the flag before first trace) and run the
+#: kernel through :func:`run_checked` to surface violations.
+_DEBUG_CHECKS = os.environ.get("CMI_DEBUG_CHECKS", "") == "1"
+
+
+def _debug_check(pred, msg):
+    if _DEBUG_CHECKS:
+        from jax.experimental import checkify
+
+        checkify.check(pred, msg)
+
+
+def run_checked(fn, *args, **kwargs):
+    """Run a (possibly jitted) traversal entry point with checkify error
+    collection; raises on any violated debug invariant."""
+    from jax.experimental import checkify
+
+    err, out = checkify.checkify(fn)(*args, **kwargs)
+    err.throw()
+    return out
 
 
 class PacketBatch(NamedTuple):
@@ -134,6 +159,18 @@ def trace_packets(
         l_travel = jnp.where(absorbed_now, pk.tau_left / chi, l_exit)
 
         deposit = jnp.where(pk.active, l_travel * pk.weight, 0.0)
+        # debug invariants (DensitySubGrid.hpp:1140-1222 cmac_asserts)
+        _debug_check(
+            jnp.all(jnp.where(pk.active, l_travel, 0.0) >= 0.0),
+            "traversal: negative path length",
+        )
+        _debug_check(
+            jnp.all(jnp.where(pk.active, pk.tau_left, 0.0) >= 0.0),
+            "traversal: negative remaining optical depth",
+        )
+        _debug_check(
+            jnp.all(jnp.isfinite(deposit)), "traversal: non-finite deposit"
+        )
         tly = tly.at[flat].add(deposit, mode="drop")
 
         # advance: land exactly on the crossed wall (axis of minimal t) or at
@@ -327,6 +364,10 @@ def trace_packets_blocked(
             l_travel = jnp.where(absorbed_now, tau_left / chi, l_exit)
 
             deposit = jnp.where(march, l_travel * pk.weight, 0.0)
+            _debug_check(
+                jnp.all(deposit >= 0.0) & jnp.all(jnp.isfinite(deposit)),
+                "blocked traversal: bad deposit",
+            )
             D = D + jnp.where(onehot, deposit[:, None], 0.0)
 
             npx = px + pk.dx * l_travel
@@ -362,6 +403,10 @@ def trace_packets_blocked(
             )
 
             ntau = jnp.where(absorbed_now, 0.0, tau_left - tau_cell)
+            _debug_check(
+                jnp.all(jnp.where(march, ntau, 0.0) >= 0.0),
+                "blocked traversal: negative remaining optical depth",
+            )
 
             # freeze non-marching packets
             px = jnp.where(march, npx, px)
