@@ -30,15 +30,16 @@ MYR = 3.15576e13
 
 
 def build_simulation(small: bool, mesh_motion: bool = False, seed: int = 42):
-    n_gen = 6000 if small else 40000
+    n_gen = 12000 if small else 40000
     n_photons = 50000 if small else 500000
     total_time = 0.141 * MYR
-    n_steps = 256 if small else 1024
+    n_steps = 128 if small else 1024
     dt = total_time / n_steps
 
-    # full sphere: source at the box center
+    # full sphere: source at the box center (box sized like the Cartesian
+    # starbench so the Stromgren radius spans >= 2 mean cell spacings)
     geometry = GridGeometry(
-        anchor=(-1.884 * PC,) * 3, sides=(3.768 * PC,) * 3, shape=(32,) * 3,
+        anchor=(-1.256 * PC,) * 3, sides=(2.512 * PC,) * 3, shape=(32,) * 3,
     )
     rng = np.random.default_rng(seed)
     grid = voronoi.build_voronoi_grid(

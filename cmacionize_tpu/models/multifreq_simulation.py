@@ -306,7 +306,8 @@ class MultiFreqIonizationSimulation:
         self.tracker_manager = None
 
         self.mesh = mesh
-        self._n_emitted = config.n_photons
+        _nb = -(-config.n_photons // self.PHOTON_BATCH)
+        self._n_emitted = (config.n_photons // _nb) * _nb  # batched emission
         self._sharded_trace = None
         self._sharded_shardings = None
         if mesh is not None:
@@ -348,9 +349,18 @@ class MultiFreqIonizationSimulation:
             jnp.searchsorted(edges, xi) - 1, 0, self.config.n_bins - 1
         ).astype(jnp.int32)
 
+    #: max packets traced per batch: the blocked spectral kernel carries
+    #: [P, W] intermediates (~0.25 GB at 2^20, W=64), so very large photon
+    #: budgets are scanned in 2^20-packet batches (compiled once)
+    PHOTON_BATCH = 1 << 20
+
     def _mc_shoot(self, key, xH, xHe, T):
         """Emit + trace + re-emission rounds → [n_ion+2, ncell] integrals
-        (raw Σ ℓσw scale: cell-unit lengths × m² × weight)."""
+        (raw Σ ℓσw scale: cell-unit lengths × m² × weight).
+
+        Budgets above :data:`PHOTON_BATCH` are processed as a lax.scan over
+        equal batches — fixed [P] shapes, one compilation, identical
+        estimator (each batch is an independent emission draw)."""
         cfg = self.config
         shape = self.geometry.shape
         ncell = self.geometry.n_cells
@@ -362,69 +372,73 @@ class MultiFreqIonizationSimulation:
 
         sig_h_tab = jnp.asarray(self.sigma_table[ions.ION_H_n], jnp.float32)
         sig_he_tab = jnp.asarray(self.sigma_table[ions.ION_He_n], jnp.float32)
+        xH32 = xH.astype(jnp.float32).reshape(-1)
+        xHe32 = xHe.astype(jnp.float32).reshape(-1)
+        T32 = T.astype(jnp.float32).reshape(-1)
+        bin_edges = jnp.asarray(self.bin_edges, jnp.float32)
 
-        key_bin, key_emit, key_loop = jax.random.split(key, 3)
-        fbin = self._emit_bins(key_bin, cfg.n_photons)
-        px, py, pz, dx, dy, dz, tau, _, weight = sources.emit_point_source(
-            key_emit, cfg.n_photons, self._source_gpos
-        )
-        packets = traversal.make_spectral_packets(
-            jnp.stack([px, py, pz], 1),
-            jnp.stack([dx, dy, dz], 1),
-            tau,
-            weight,
-            sig_h_tab[fbin],
-            sig_he_tab[fbin],
-            fbin,
-            shape,
-        )
+        n_batches = -(-cfg.n_photons // self.PHOTON_BATCH)
+        n_per = cfg.n_photons // n_batches
+
+        def one_batch(tally2d, key):
+            key_bin, key_emit, key_loop = jax.random.split(key, 3)
+            fbin = self._emit_bins(key_bin, n_per)
+            px, py, pz, dx, dy, dz, tau, _, weight = (
+                sources.emit_point_source(key_emit, n_per, self._source_gpos)
+            )
+            packets = traversal.make_spectral_packets(
+                jnp.stack([px, py, pz], 1),
+                jnp.stack([dx, dy, dz], 1),
+                tau, weight,
+                sig_h_tab[fbin], sig_he_tab[fbin], fbin, shape,
+            )
+            tally2d, packets = traversal.trace_packets_spectral_auto(
+                chi_h, chi_he, packets, tally2d,
+                shape=shape, n_bins=cfg.n_bins,
+                periodic=self.geometry.periodic,
+            )
+
+            if cfg.diffuse_field:
+                for gen in range(cfg.n_reemission_rounds):
+                    key_loop, key_re, key_dir, key_tau = jax.random.split(
+                        key_loop, 4)
+                    flat = (
+                        packets.cx * shape[1] + packets.cy
+                    ) * shape[2] + packets.cz
+                    flat = jnp.clip(flat, 0, ncell - 1)
+                    remask, new_freq = reemission.reemit_batch(
+                        key_re, self.spectra, packets.absorbed,
+                        packets.sig_h, packets.sig_he,
+                        xH32[flat], xHe32[flat], T32[flat], AHe,
+                    )
+                    ndx, ndy, ndz = sources.isotropic_directions(
+                        key_dir, packets.size)
+                    ntau = sources.sample_tau_targets(key_tau, packets.size)
+                    nbin = jnp.clip(
+                        jnp.searchsorted(bin_edges, new_freq) - 1,
+                        0, cfg.n_bins - 1,
+                    ).astype(jnp.int32)
+                    packets = traversal.SpectralPacketBatch(
+                        packets.px, packets.py, packets.pz,
+                        packets.cx, packets.cy, packets.cz,
+                        ndx, ndy, ndz,
+                        ntau, packets.weight,
+                        sig_h_tab[nbin], sig_he_tab[nbin], nbin,
+                        remask, jnp.zeros_like(remask),
+                    )
+                    tally2d, packets = traversal.trace_packets_spectral_auto(
+                        chi_h, chi_he, packets, tally2d,
+                        shape=shape, n_bins=cfg.n_bins,
+                        periodic=self.geometry.periodic,
+                    )
+            return tally2d, None
+
         tally2d = jnp.zeros(cfg.n_bins * ncell, jnp.float32)
-        tally2d, packets = traversal.trace_packets_spectral_auto(
-            chi_h, chi_he, packets, tally2d,
-            shape=shape, n_bins=cfg.n_bins, periodic=self.geometry.periodic,
-        )
-
-        if cfg.diffuse_field:
-            xH32 = xH.astype(jnp.float32).reshape(-1)
-            xHe32 = xHe.astype(jnp.float32).reshape(-1)
-            T32 = T.astype(jnp.float32).reshape(-1)
-            nyz = shape[1] * shape[2]
-            bin_edges = jnp.asarray(self.bin_edges, jnp.float32)
-            for gen in range(cfg.n_reemission_rounds):
-                key_loop, key_re, key_dir, key_tau = jax.random.split(key_loop, 4)
-                flat = (packets.cx * shape[1] + packets.cy) * shape[2] + packets.cz
-                flat = jnp.clip(flat, 0, ncell - 1)
-                remask, new_freq = reemission.reemit_batch(
-                    key_re,
-                    self.spectra,
-                    packets.absorbed,
-                    packets.sig_h,
-                    packets.sig_he,
-                    xH32[flat],
-                    xHe32[flat],
-                    T32[flat],
-                    AHe,
-                )
-                ndx, ndy, ndz = sources.isotropic_directions(
-                    key_dir, packets.size
-                )
-                ntau = sources.sample_tau_targets(key_tau, packets.size)
-                nbin = jnp.clip(
-                    jnp.searchsorted(bin_edges, new_freq) - 1, 0, cfg.n_bins - 1
-                ).astype(jnp.int32)
-                packets = traversal.SpectralPacketBatch(
-                    packets.px, packets.py, packets.pz,
-                    packets.cx, packets.cy, packets.cz,
-                    ndx, ndy, ndz,
-                    ntau, packets.weight,
-                    sig_h_tab[nbin], sig_he_tab[nbin], nbin,
-                    remask, jnp.zeros_like(remask),
-                )
-                tally2d, packets = traversal.trace_packets_spectral_auto(
-                    chi_h, chi_he, packets, tally2d,
-                    shape=shape, n_bins=cfg.n_bins,
-                    periodic=self.geometry.periodic,
-                )
+        if n_batches == 1:
+            tally2d, _ = one_batch(tally2d, key)
+        else:
+            keys = jax.random.split(key, n_batches)
+            tally2d, _ = jax.lax.scan(one_batch, tally2d, keys)
 
         integrals = traversal.spectral_tallies_to_ion_integrals(
             tally2d,

@@ -183,8 +183,22 @@ def build_voronoi_grid(
     # incoming generators are in [0,1]^3 of the box; rescale anisotropically
     pts = pts * box
 
+    # large meshes: only image points near the walls (8x mean spacing is a
+    # generous bound on the near-wall cell diameter for quasi-uniform
+    # distributions); the unbounded-cell assertion falls back to full
+    # imaging for pathological cases
+    margin = None
+    if len(pts) > 4000:
+        margin = min(0.45, 8.0 * len(pts) ** (-1.0 / 3.0))
+
+    def _build(p):
+        try:
+            return _tessellate(geometry, p, box, scale, margin=margin)
+        except AssertionError:
+            return _tessellate(geometry, p, box, scale, margin=None)
+
     for _ in range(num_lloyd + 1):
-        grid_data = _tessellate(geometry, pts, box, scale)
+        grid_data = _build(pts)
         if num_lloyd == 0:
             break
         pts = grid_data.centroids.copy()
@@ -213,7 +227,15 @@ def _polygon_area(verts: np.ndarray) -> float:
     return 0.5 * abs(float(np.sum(cross @ normal)))
 
 
-def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
+def _tessellate(geometry, pts, box, scale, margin=None) -> VoronoiGrid:
+    """Bounded tessellation via wall-mirror / periodic-translate images.
+
+    ``margin`` (box units, optional): only image points within ``margin`` of
+    the walls involved in each offset combination — an O(27x) → O(1+ε)
+    reduction of the Qhull input for large meshes.  Must exceed the largest
+    cell diameter near any wall; the unbounded-region assertion below fails
+    loudly if it was too small (callers fall back to full imaging).
+    """
     from scipy.spatial import Voronoi
 
     n = len(pts)
@@ -223,7 +245,11 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
     # periodic axes; pure-mirror combos only ever produce degenerate
     # never-hit faces (inside the box every point is strictly closer to the
     # original than to any multi-mirrored image).
-    image_meta = []  # per image block: (is_wall, shift[3])
+    # Per imaged point (beyond the n originals) three parallel arrays record
+    # its original index, wall flag and periodic shift.
+    ext_orig = []  # [M] original index of each imaged point
+    ext_wall = []  # [M] bool
+    ext_shift = []  # [M, 3]
     import itertools
 
     # Degeneracy proof for images involving >= 1 mirrored axis (pure mirror
@@ -241,7 +267,18 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
     for combo in itertools.product((-1, 0, 1), repeat=3):
         if combo == (0, 0, 0):
             continue
-        img = pts.copy()
+        sel = np.ones(n, bool)
+        if margin is not None:
+            for axis, sign in enumerate(combo):
+                if sign == 0:
+                    continue
+                if sign > 0:
+                    sel &= pts[:, axis] > box[axis] - margin
+                else:
+                    sel &= pts[:, axis] < margin
+        img = pts[sel].copy()
+        if len(img) == 0:
+            continue
         is_wall = False
         shift = np.zeros(3)
         for axis, sign in enumerate(combo):
@@ -254,9 +291,17 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
                 wall = box[axis] if sign > 0 else 0.0
                 img[:, axis] = 2.0 * wall - img[:, axis]
                 is_wall = True
-        image_meta.append((is_wall, shift))
         ext.append(img)
+        ext_orig.append(np.flatnonzero(sel).astype(np.int64))
+        ext_wall.append(np.full(len(img), is_wall))
+        ext_shift.append(np.tile(shift, (len(img), 1)))
     allpts = np.concatenate(ext, axis=0)
+    ext_orig = (np.concatenate(ext_orig) if ext_orig
+                else np.zeros(0, np.int64))
+    ext_wall = (np.concatenate(ext_wall) if ext_wall
+                else np.zeros(0, bool))
+    ext_shift = (np.concatenate(ext_shift, axis=0) if len(ext_shift)
+                 else np.zeros((0, 3)))
     vor = Voronoi(allpts)
 
     faces = [[] for _ in range(n)]  # per cell: (nbr, normal, offset, shift, A)
@@ -276,8 +321,9 @@ def _tessellate(geometry, pts, box, scale) -> VoronoiGrid:
             if b < n:
                 nbr, shift = int(b), np.zeros(3)
             else:
-                is_wall, shift = image_meta[(b - n) // n]
-                nbr = -1 if is_wall else int(b % n)
+                is_wall = bool(ext_wall[b - n])
+                shift = ext_shift[b - n]
+                nbr = -1 if is_wall else int(ext_orig[b - n])
             if -1 in ridge_verts:
                 area = 0.0  # unbounded far-image ridge (never a real face)
             else:

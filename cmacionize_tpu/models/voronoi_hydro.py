@@ -209,7 +209,13 @@ def evolve_voronoi_grid(
         else:
             pts[:, axis] = np.clip(
                 pts[:, axis], eps * box[axis], (1.0 - eps) * box[axis])
-    return _tessellate(grid.geometry, pts, box, grid.scale)
+    margin = None
+    if len(pts) > 4000:
+        margin = min(0.45, 8.0 * len(pts) ** (-1.0 / 3.0))
+    try:
+        return _tessellate(grid.geometry, pts, box, grid.scale, margin=margin)
+    except AssertionError:
+        return _tessellate(grid.geometry, pts, box, grid.scale)
 
 
 def grid_velocity_from_fluid(

@@ -773,7 +773,7 @@ def trace_packets_spectral_auto(
     return trace_packets_spectral_blocked(
         chi_h, chi_he, packets, tally2d,
         shape=shape, n_bins=n_bins, block=block, periodic=periodic,
-        max_steps=max_steps, inner_steps=4,
+        max_steps=max_steps, inner_steps=default_inner_steps(block),
     )
 
 
@@ -798,12 +798,22 @@ def spectral_tallies_to_ion_integrals(
 def default_block(shape) -> "Tuple[int, int, int] | None":
     """Pick the measured-best block for a grid shape (None → use per-step).
 
-    (4, 4, 4) with 4 unrolled inner steps won the v5e sweep (tools/
-    bench_blocked.py); any block requires the grid to be divisible by it.
+    (8, 4, 4) with 6 unrolled inner steps won the round-3 back-to-back
+    sweep (tools/bench_block_sweep_r3.py, ~11% over the round-2
+    (4,4,4)/K=4 choice — one wider row gather amortizes more DDA steps);
+    (4, 4, 4)/K=4 is the fallback for grids not divisible by 8 in x.
+    Any block requires the grid to be divisible by it.
     """
+    if int(shape[0]) % 8 == 0 and all(int(s) % 4 == 0 for s in shape):
+        return (8, 4, 4)
     if all(int(s) % 4 == 0 for s in shape):
         return (4, 4, 4)
     return None
+
+
+def default_inner_steps(block) -> int:
+    """Measured-best unrolled march depth for a block (see default_block)."""
+    return 6 if block is not None and block[0] == 8 else 4
 
 
 def trace_packets_auto(
@@ -825,7 +835,7 @@ def trace_packets_auto(
     return trace_packets_blocked(
         opacity, packets, tally,
         shape=shape, block=block, periodic=periodic, max_steps=max_steps,
-        inner_steps=4,
+        inner_steps=default_inner_steps(block),
     )
 
 
@@ -914,7 +924,7 @@ def trace_packets_blocked_cascade(
     shape,
     block=(4, 4, 4),
     periodic=(False, False, False),
-    inner_steps: int = 4,
+    inner_steps: int = 0,
     max_steps: int = 0,
     shrink: int = 4,
     n_stages: int = 3,
@@ -939,6 +949,8 @@ def trace_packets_blocked_cascade(
     preserved (use trace_packets_blocked when re-emission needs it).
     """
     n = packets.size
+    if inner_steps == 0:
+        inner_steps = default_inner_steps(block)
     if max_steps == 0:
         nx, ny, nz = shape
         max_steps = 4 * (nx + ny + nz)
