@@ -41,6 +41,31 @@ from cmacionize_tpu.utils.logging import Log, NullLog
 
 _METAL_NAMES = tuple(ions.ION_NAMES[2:])
 
+def _cpu_device(retries: int = 3):
+    """CPU backend handle for the f64 solves, robust to the axon relay
+    transiently dropping the registered cpu backend (observed in
+    production: jax.devices("cpu") succeeded at init yet raised
+    "Unknown backend cpu" mid-run after a relay reconnect cleared the
+    backend set)."""
+    import time as _time
+
+    last = None
+    for attempt in range(retries):
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError as exc:
+            last = exc
+            platforms = jax.config.jax_platforms or ""
+            if "cpu" not in platforms.split(","):
+                jax.config.update(
+                    "jax_platforms",
+                    f"{platforms},cpu" if platforms else "cpu")
+            _time.sleep(0.5 * (attempt + 1))
+    raise RuntimeError(
+        "CPU backend unavailable for the f64 ionization/temperature "
+        "solves") from last
+
+
 
 def solve_cell_state(j, h, nd, T_prev, abundances, do_temp,
                      pahfac=0.0, crfac=0.0):
@@ -541,7 +566,7 @@ class MultiFreqIonizationSimulation:
         per-iteration data movement (a few MB of integrals) is negligible
         next to the MC transport.  Committed CPU inputs pin the computation.
         """
-        cpu = jax.devices("cpu")[0]
+        cpu = _cpu_device()
         integrals = jax.device_put(jax.device_get(integrals), cpu)
         cfg = self.config
         shape = self.geometry.shape

@@ -729,7 +729,11 @@ class MultiFreqVoronoiSimulation:
                 jnp.asarray(self.sigma_table, jnp.float32),
                 jnp.asarray(self.heating_weights, jnp.float32), C)
 
-            cpu = jax.devices("cpu")[0]
+            from cmacionize_tpu.models.multifreq_simulation import (
+                _cpu_device,
+            )
+
+            cpu = _cpu_device()
             integrals = jax.device_put(
                 jax.device_get(integrals), cpu).astype(jnp.float64)
             volumes = jnp.asarray(grid.volumes, jnp.float64)
