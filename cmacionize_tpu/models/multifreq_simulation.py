@@ -60,6 +60,17 @@ def _cpu_device(retries: int = 3):
                 jax.config.update(
                     "jax_platforms",
                     f"{platforms},cpu" if platforms else "cpu")
+            if attempt >= 1:
+                # the backend set was initialized without cpu (the relay's
+                # compile path can reinitialize it); drop it so the next
+                # backends() re-reads jax_platforms — live arrays keep
+                # their original clients, jits re-resolve on next call
+                try:
+                    from jax.extend.backend import clear_backends
+
+                    clear_backends()
+                except Exception:
+                    pass
             _time.sleep(0.5 * (attempt + 1))
     raise RuntimeError(
         "CPU backend unavailable for the f64 ionization/temperature "
@@ -375,9 +386,10 @@ class MultiFreqIonizationSimulation:
         ).astype(jnp.int32)
 
     #: max packets traced per batch: the blocked spectral kernel carries
-    #: [P, W] intermediates (~0.25 GB at 2^20, W=64), so very large photon
-    #: budgets are scanned in 2^20-packet batches (compiled once)
-    PHOTON_BATCH = 1 << 20
+    #: [P, W] intermediates (~0.13 GB at 2^19, W=64), so very large photon
+    #: budgets are scanned in 2^19-packet batches (compiled once; larger
+    #: batches destabilized the TPU worker inside the batched scan)
+    PHOTON_BATCH = 1 << 19
 
     def _mc_shoot(self, key, xH, xHe, T):
         """Emit + trace + re-emission rounds → [n_ion+2, ncell] integrals

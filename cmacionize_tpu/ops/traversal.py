@@ -763,8 +763,14 @@ def trace_packets_spectral_auto(
     periodic=(False, False, False),
     max_steps: int = 0,
 ):
-    """Dispatch to the blocked spectral fast path when the shape allows it."""
-    block = default_block(shape)
+    """Dispatch to the blocked spectral fast path when the shape allows it.
+
+    The spectral kernel keeps the (4,4,4) block: its fused H+He opacity row
+    is [P, 2W], so the (8,4,4) single-channel winner would double the
+    per-phase working set (1 GB at P=2^20) — measured to destabilize the
+    worker inside batched scans.
+    """
+    block = (4, 4, 4) if all(int(s) % 4 == 0 for s in shape) else None
     if block is None:
         return trace_packets_spectral(
             chi_h, chi_he, packets, tally2d,
