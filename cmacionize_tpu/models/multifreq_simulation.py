@@ -395,9 +395,10 @@ class MultiFreqIonizationSimulation:
         """Emit + trace + re-emission rounds → [n_ion+2, ncell] integrals
         (raw Σ ℓσw scale: cell-unit lengths × m² × weight).
 
-        Budgets above :data:`PHOTON_BATCH` are processed as a lax.scan over
-        equal batches — fixed [P] shapes, one compilation, identical
-        estimator (each batch is an independent emission draw)."""
+        Budgets above :data:`PHOTON_BATCH` are processed as a Python loop of
+        separately-dispatched batches (one compilation, donated tally —
+        identical estimator; a lax.scan formulation repeatedly faulted the
+        TPU worker on the full 64³/128-bin workload)."""
         cfg = self.config
         shape = self.geometry.shape
         ncell = self.geometry.n_cells
@@ -417,7 +418,8 @@ class MultiFreqIonizationSimulation:
         n_batches = -(-cfg.n_photons // self.PHOTON_BATCH)
         n_per = cfg.n_photons // n_batches
 
-        def one_batch(tally2d, key):
+        def one_batch(tally2d, key, chi_h=chi_h, chi_he=chi_he,
+                      xH32=xH32, xHe32=xHe32, T32=T32):
             key_bin, key_emit, key_loop = jax.random.split(key, 3)
             fbin = self._emit_bins(key_bin, n_per)
             px, py, pz, dx, dy, dz, tau, _, weight = (
@@ -474,8 +476,19 @@ class MultiFreqIonizationSimulation:
         if n_batches == 1:
             tally2d, _ = one_batch(tally2d, key)
         else:
+            # dispatch batches separately (see docstring), one cached jit
+            # with the donated tally threaded through
+            if getattr(self, "_one_batch_jit", None) is None:
+                def batch_fn(tally2d, key, chi_h, chi_he, xH32, xHe32, T32):
+                    out, _ = one_batch(
+                        tally2d, key, chi_h, chi_he, xH32, xHe32, T32)
+                    return out
+
+                self._one_batch_jit = jax.jit(batch_fn, donate_argnums=(0,))
             keys = jax.random.split(key, n_batches)
-            tally2d, _ = jax.lax.scan(one_batch, tally2d, keys)
+            for i in range(n_batches):
+                tally2d = self._one_batch_jit(
+                    tally2d, keys[i], chi_h, chi_he, xH32, xHe32, T32)
 
         integrals = traversal.spectral_tallies_to_ion_integrals(
             tally2d,
@@ -628,6 +641,8 @@ class MultiFreqIonizationSimulation:
             signals.install()
         if self.mesh is not None:
             shoot = self._mc_shoot_sharded  # inner trace already jitted
+        elif -(-cfg.n_photons // self.PHOTON_BATCH) > 1:
+            shoot = self._mc_shoot  # per-batch jits dispatched inside
         else:
             shoot = jax.jit(self._mc_shoot)
         device = jax.devices()[0]  # compute device for the MC transport
