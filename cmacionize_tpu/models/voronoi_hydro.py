@@ -10,9 +10,13 @@ cell-graph arrays.
 
 Scheme (first-order Godunov, moving faces):
 
-* state is EXTENSIVE per cell (mass, momentum, energy totals) — on a moving
-  mesh the cell volumes change every step, conserved totals ride along with
-  their generator;
+* state is INTENSIVE per cell (densities of mass/momentum/energy): SI cell
+  volumes of astrophysical problems (~1e47 m³) overflow f32, so extensive
+  totals cannot live on device; the geometric factors A_face/V_cell are
+  precomputed host-side in f64 (they are O(1/cell-size), comfortably f32)
+  and the flux update is dU_i = -dt Σ_k (A_ik/V_i) F_ik.  After a mesh
+  evolve, totals conservation is restored by rescaling with V_old/V_new
+  (:func:`remap_after_evolve`);
 * per face: the HLLC flux is solved in the face frame (normal velocities
   shifted by the face speed w_n = ½(v_i + v_j)·n̂) and de-boosted back,
   F = F' + w_n·(0, m', …, F'_un + ½w_n m') — the Galilean transform the
@@ -41,9 +45,10 @@ from cmacionize_tpu.ops import riemann
 
 
 class VoronoiHydroState(NamedTuple):
-    """Extensive conserved totals per cell (SI: kg, kg m/s, J)."""
+    """Intensive conserved state per cell (SI densities: kg/m³, kg/(m²s),
+    J/m³) — see the module docstring for why totals are not stored."""
 
-    mass: jnp.ndarray
+    rho: jnp.ndarray
     mom_x: jnp.ndarray
     mom_y: jnp.ndarray
     mom_z: jnp.ndarray
@@ -51,36 +56,58 @@ class VoronoiHydroState(NamedTuple):
 
 
 def conserved_from_primitives(rho, vx, vy, vz, p, volumes, gamma):
-    volumes = jnp.asarray(volumes, jnp.float32)
-    mass = rho * volumes
+    """``volumes`` is accepted for API symmetry but unused (intensive)."""
+    del volumes
     return VoronoiHydroState(
-        mass=mass,
-        mom_x=mass * vx,
-        mom_y=mass * vy,
-        mom_z=mass * vz,
-        energy=(p / (gamma - 1.0) + 0.5 * rho * (vx**2 + vy**2 + vz**2))
-        * volumes,
+        rho=rho,
+        mom_x=rho * vx,
+        mom_y=rho * vy,
+        mom_z=rho * vz,
+        energy=p / (gamma - 1.0) + 0.5 * rho * (vx**2 + vy**2 + vz**2),
     )
 
 
 def primitives_from_conserved(state: VoronoiHydroState, volumes, gamma):
-    volumes = jnp.asarray(volumes, jnp.float32)
-    rho = state.mass / volumes
-    inv_m = 1.0 / jnp.maximum(state.mass, 1e-300)
-    vx = state.mom_x * inv_m
-    vy = state.mom_y * inv_m
-    vz = state.mom_z * inv_m
+    """``volumes`` accepted for API symmetry but unused (intensive)."""
+    del volumes
+    rho = state.rho
+    inv_rho = 1.0 / jnp.maximum(rho, 1e-300)
+    vx = state.mom_x * inv_rho
+    vy = state.mom_y * inv_rho
+    vz = state.mom_z * inv_rho
     ekin = 0.5 * (state.mom_x * vx + state.mom_y * vy + state.mom_z * vz)
-    p = jnp.maximum((state.energy - ekin) / volumes * (gamma - 1.0), 1e-30)
+    p = jnp.maximum((state.energy - ekin) * (gamma - 1.0), 1e-30)
     return rho, vx, vy, vz, p
+
+
+def total_mass(state: VoronoiHydroState, volumes) -> float:
+    """Σ ρ_i V_i in f64 on the host (volumes overflow f32 on device)."""
+    return float(
+        (np.asarray(state.rho, np.float64) * np.asarray(volumes, np.float64))
+        .sum()
+    )
+
+
+def remap_after_evolve(state: VoronoiHydroState, old_volumes, new_volumes):
+    """Restore totals conservation after a mesh evolve: each cell's totals
+    ride with its generator, so densities rescale by V_old/V_new."""
+    ratio = jnp.asarray(
+        np.asarray(old_volumes, np.float64) / np.asarray(new_volumes,
+                                                         np.float64),
+        jnp.float32)
+    return VoronoiHydroState(*(f * ratio for f in state))
 
 
 @functools.partial(jax.jit, static_argnames=("gamma",))
 def _voronoi_flux_update(
-    neighbors, normals, areas_si, volumes, state, gen_vel, dt, gamma,
+    neighbors, normals, area_over_vol, state, gen_vel, dt, gamma,
 ):
-    """One first-order moving-face Godunov update of the extensive state."""
-    rho, vx, vy, vz, p = primitives_from_conserved(state, volumes, gamma)
+    """One first-order moving-face Godunov update of the intensive state.
+
+    ``area_over_vol``: [C, K] f32 — A_face / V_cell (1/m), precomputed in
+    f64 on the host (SI areas/volumes individually overflow f32).
+    """
+    rho, vx, vy, vz, p = primitives_from_conserved(state, None, gamma)
 
     nbr = neighbors  # [C, K]
     safe_nbr = jnp.maximum(nbr, 0)
@@ -111,11 +138,11 @@ def _voronoi_flux_update(
         )
 
     # left (own) state on every face
-    rhoL = rho[:, None] * jnp.ones_like(areas_si)
-    pL = p[:, None] * jnp.ones_like(areas_si)
-    vL = (vx[:, None] * jnp.ones_like(areas_si),
-          vy[:, None] * jnp.ones_like(areas_si),
-          vz[:, None] * jnp.ones_like(areas_si))
+    rhoL = rho[:, None] * jnp.ones_like(area_over_vol)
+    pL = p[:, None] * jnp.ones_like(area_over_vol)
+    vL = (vx[:, None] * jnp.ones_like(area_over_vol),
+          vy[:, None] * jnp.ones_like(area_over_vol),
+          vz[:, None] * jnp.ones_like(area_over_vol))
     uL, ut1L, ut2L = project(*vL)
 
     # right (neighbor) state; wall → mirror (flip normal velocity)
@@ -128,9 +155,9 @@ def _voronoi_flux_update(
 
     # face speed along the normal (moving mesh); walls don't move
     gvn, _, _ = project(
-        gen_vel[:, 0][:, None] * jnp.ones_like(areas_si),
-        gen_vel[:, 1][:, None] * jnp.ones_like(areas_si),
-        gen_vel[:, 2][:, None] * jnp.ones_like(areas_si),
+        gen_vel[:, 0][:, None] * jnp.ones_like(area_over_vol),
+        gen_vel[:, 1][:, None] * jnp.ones_like(area_over_vol),
+        gen_vel[:, 2][:, None] * jnp.ones_like(area_over_vol),
     )
     gvn_nbr, _, _ = project(
         gather(gen_vel[:, 0]), gather(gen_vel[:, 1]), gather(gen_vel[:, 2])
@@ -154,12 +181,12 @@ def _voronoi_flux_update(
     )
 
     active = (is_cell | is_wall).astype(f_rho.dtype)
-    wA = areas_si * active * dt
-    d_mass = -jnp.sum(f_rho * wA, axis=1)
+    wA = area_over_vol * active * dt
+    d_rho = -jnp.sum(f_rho * wA, axis=1)
     d_mom = -jnp.sum(fm * wA[..., None], axis=1)
     d_energy = -jnp.sum(f_e * wA, axis=1)
     return VoronoiHydroState(
-        mass=state.mass + d_mass,
+        rho=state.rho + d_rho,
         mom_x=state.mom_x + d_mom[:, 0],
         mom_y=state.mom_y + d_mom[:, 1],
         mom_z=state.mom_z + d_mom[:, 2],
@@ -174,13 +201,15 @@ def voronoi_hydro_step(
     dt: float,
     gamma: float = 5.0 / 3.0,
 ) -> VoronoiHydroState:
-    """Advance the extensive state one step on the (possibly moving) mesh."""
-    areas_si = jnp.asarray(grid.areas, jnp.float32) * grid.scale**2
+    """Advance the intensive state one step on the (possibly moving) mesh."""
+    area_over_vol = jnp.asarray(
+        np.asarray(grid.areas, np.float64) * grid.scale**2
+        / np.asarray(grid.volumes, np.float64)[:, None],
+        jnp.float32)
     return _voronoi_flux_update(
         jnp.asarray(grid.neighbors),
         jnp.asarray(grid.normals),
-        areas_si,
-        jnp.asarray(grid.volumes, jnp.float32),
+        area_over_vol,
         state,
         jnp.asarray(gen_velocities_si, jnp.float32),
         jnp.float32(dt),
@@ -288,8 +317,7 @@ class VoronoiRHDSimulation:
         from cmacionize_tpu.ops import ionization
 
         grid = self.grid
-        nd = self.state.mass / (
-            jnp.asarray(grid.volumes, jnp.float32) * constants.PROTON_MASS)
+        nd = self.state.rho / constants.PROTON_MASS
         src_u = ((self.source_position - np.asarray(grid.geometry.anchor))
                  / grid.scale)
         src_cell = int(grid.locate(src_u)[0])
@@ -320,19 +348,17 @@ class VoronoiRHDSimulation:
 
     def _couple(self, state, xh):
         """Two-temperature ionization → energy coupling (heating only),
-        per cell on the extensive state."""
+        per cell on the intensive state."""
         from cmacionize_tpu import constants
 
-        volumes = jnp.asarray(self.grid.volumes, jnp.float32)
-        rho = state.mass / volumes
+        rho = state.rho
         k_over_mp = constants.BOLTZMANN / constants.PROTON_MASS
-        inv_m = 1.0 / jnp.maximum(state.mass, 1e-300)
-        vx = state.mom_x * inv_m
-        vy = state.mom_y * inv_m
-        vz = state.mom_z * inv_m
+        inv_rho = 1.0 / jnp.maximum(rho, 1e-300)
+        vx = state.mom_x * inv_rho
+        vy = state.mom_y * inv_rho
+        vz = state.mom_z * inv_rho
         ekin = 0.5 * (state.mom_x * vx + state.mom_y * vy + state.mom_z * vz)
-        u_spec = jnp.maximum(
-            (state.energy - ekin) / jnp.maximum(state.mass, 1e-300), 0.0)
+        u_spec = jnp.maximum((state.energy - ekin) * inv_rho, 0.0)
         T_target = (self.ionised_temperature * (1.0 - xh)
                     + self.neutral_temperature * xh)
         ufac = 2.0 * k_over_mp / ((self.gamma - 1.0) * (1.0 + xh))
@@ -340,7 +366,7 @@ class VoronoiRHDSimulation:
         du = ufac * T_target - u_spec
         heat = jnp.where(
             (du > 0.0) & (T_old < self.shock_temperature), du, 0.0)
-        return state._replace(energy=state.energy + heat * state.mass)
+        return state._replace(energy=state.energy + heat * rho)
 
     def run(self, n_steps, log=None):
         for step in range(n_steps):
@@ -356,7 +382,10 @@ class VoronoiRHDSimulation:
             self.state = voronoi_hydro_step(
                 self.grid, self.state, vel, self.dt, self.gamma)
             if self.mesh_motion:
+                old_volumes = self.grid.volumes
                 self.grid = evolve_voronoi_grid(self.grid, vel, self.dt)
+                self.state = remap_after_evolve(
+                    self.state, old_volumes, self.grid.volumes)
             self.time += self.dt
             if log is not None and (step + 1) % 32 == 0:
                 log(f"step {step + 1}/{n_steps} "
