@@ -161,3 +161,38 @@ def test_astronomical_scale_no_f32_overflow():
     assert np.isfinite(np.asarray(state.energy)).all()
     nd = np.asarray(state.rho) / mp
     np.testing.assert_allclose(nd, 3.113e9, rtol=1e-4)
+
+
+def test_dtype_expansion_on_voronoi():
+    """Reduced starbench_voronoi: the D-type front must expand beyond the
+    Stromgren radius and stay near the Spitzer/Hosokawa-Inutsuka band
+    (first-order + coarse-mesh tolerances)."""
+    import jax
+
+    PC = 3.086e16
+    MYR = 3.15576e13
+    geometry = GridGeometry((-1.256 * PC,) * 3, (2.512 * PC,) * 3,
+                            (16,) * 3)
+    rng = np.random.default_rng(31)
+    grid = voronoi.build_voronoi_grid(geometry, rng.random((3000, 3)),
+                                      num_lloyd=1)
+    total_time = 0.141 * MYR
+    n_steps = 48
+    sim = voronoi_hydro.VoronoiRHDSimulation(
+        grid, gamma=1.0001, timestep=total_time / n_steps,
+        luminosity=1e49, source_position=(0.0, 0.0, 0.0),
+        cross_section=6.3e-22, recombination_rate=2.7e-19,
+        n_photons=20000, nloop=4, number_density=3.113e9,
+        temperature=100.0, seed=31)
+    sim.run(n_steps)
+    r_front = sim.ionization_front_radius()
+    n_h = 3.113e9
+    r_st = (3.0 * 1e49 / (4.0 * np.pi * n_h**2 * 2.7e-19)) ** (1.0 / 3.0)
+    from cmacionize_tpu.models.rhd_simulation import (
+        hosokawa_inutsuka_radius, spitzer_radius,
+    )
+
+    r_sp = spitzer_radius(sim.time, r_st)
+    r_hi = hosokawa_inutsuka_radius(sim.time, r_st)
+    assert r_front > r_st
+    assert 0.6 * r_sp < r_front < 1.5 * r_hi
