@@ -437,7 +437,11 @@ class MultiFreqIonizationSimulation:
                 periodic=self.geometry.periodic,
             )
 
+            overflow = jnp.zeros((), jnp.int32)
             if cfg.diffuse_field:
+                from cmacionize_tpu.parallel.domain import _compact
+
+                width = packets.size
                 for gen in range(cfg.n_reemission_rounds):
                     key_loop, key_re, key_dir, key_tau = jax.random.split(
                         key_loop, 4)
@@ -457,38 +461,51 @@ class MultiFreqIonizationSimulation:
                         jnp.searchsorted(bin_edges, new_freq) - 1,
                         0, cfg.n_bins - 1,
                     ).astype(jnp.int32)
+                    # each generation re-emits ≲40% of the previous one —
+                    # compact into a halving batch width (measured: the
+                    # full-width generations dominated the diffuse-field
+                    # cost); any overflow is counted, never silent
+                    width = max(width // 2, 8192)
+                    fields = (
+                        packets.px, packets.py, packets.pz, ndx, ndy, ndz,
+                        ntau, packets.weight, sig_h_tab[nbin],
+                        sig_he_tab[nbin],
+                    )
+                    ifields = (packets.cx, packets.cy, packets.cz, nbin)
+                    cf, cmask, ov = _compact(fields, remask, width)
+                    cif, _, _ = _compact(ifields, remask, width)
+                    overflow = overflow + ov
                     packets = traversal.SpectralPacketBatch(
-                        packets.px, packets.py, packets.pz,
-                        packets.cx, packets.cy, packets.cz,
-                        ndx, ndy, ndz,
-                        ntau, packets.weight,
-                        sig_h_tab[nbin], sig_he_tab[nbin], nbin,
-                        remask, jnp.zeros_like(remask),
+                        cf[0], cf[1], cf[2],
+                        cif[0], cif[1], cif[2],
+                        cf[3], cf[4], cf[5],
+                        cf[6], cf[7],
+                        cf[8], cf[9], cif[3],
+                        cmask, jnp.zeros_like(cmask),
                     )
                     tally2d, packets = traversal.trace_packets_spectral_auto(
                         chi_h, chi_he, packets, tally2d,
                         shape=shape, n_bins=cfg.n_bins,
                         periodic=self.geometry.periodic,
                     )
-            return tally2d, None
+            return tally2d, overflow
 
+        # dispatch batches as separate jits (see docstring) with the donated
+        # tally threaded through; n_batches == 1 is just a single dispatch
         tally2d = jnp.zeros(cfg.n_bins * ncell, jnp.float32)
-        if n_batches == 1:
-            tally2d, _ = one_batch(tally2d, key)
-        else:
-            # dispatch batches separately (see docstring), one cached jit
-            # with the donated tally threaded through
-            if getattr(self, "_one_batch_jit", None) is None:
-                def batch_fn(tally2d, key, chi_h, chi_he, xH32, xHe32, T32):
-                    out, _ = one_batch(
-                        tally2d, key, chi_h, chi_he, xH32, xHe32, T32)
-                    return out
-
-                self._one_batch_jit = jax.jit(batch_fn, donate_argnums=(0,))
-            keys = jax.random.split(key, n_batches)
-            for i in range(n_batches):
-                tally2d = self._one_batch_jit(
-                    tally2d, keys[i], chi_h, chi_he, xH32, xHe32, T32)
+        overflow = jnp.zeros((), jnp.int32)
+        if getattr(self, "_one_batch_jit", None) is None:
+            self._one_batch_jit = jax.jit(one_batch, donate_argnums=(0,))
+        keys = jax.random.split(key, n_batches)
+        for i in range(n_batches):
+            tally2d, ov = self._one_batch_jit(
+                tally2d, keys[i], chi_h, chi_he, xH32, xHe32, T32)
+            overflow = overflow + ov
+        self._reemission_overflow = int(overflow)
+        if self._reemission_overflow:
+            self.log.warning(
+                f"re-emission compaction overflow: "
+                f"{self._reemission_overflow} packets (widen the schedule)")
 
         integrals = traversal.spectral_tallies_to_ion_integrals(
             tally2d,
@@ -641,10 +658,8 @@ class MultiFreqIonizationSimulation:
             signals.install()
         if self.mesh is not None:
             shoot = self._mc_shoot_sharded  # inner trace already jitted
-        elif -(-cfg.n_photons // self.PHOTON_BATCH) > 1:
-            shoot = self._mc_shoot  # per-batch jits dispatched inside
         else:
-            shoot = jax.jit(self._mc_shoot)
+            shoot = self._mc_shoot  # per-batch jits dispatched inside
         device = jax.devices()[0]  # compute device for the MC transport
         while self.iteration < n_iterations:
             loop = self.iteration
