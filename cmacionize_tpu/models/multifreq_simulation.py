@@ -465,7 +465,7 @@ class MultiFreqIonizationSimulation:
                     # compact into a halving batch width (measured: the
                     # full-width generations dominated the diffuse-field
                     # cost); any overflow is counted, never silent
-                    width = max(width // 2, 8192)
+                    width = min(max(width // 2, 8192), packets.size)
                     fields = (
                         packets.px, packets.py, packets.pz, ndx, ndy, ndz,
                         ntau, packets.weight, sig_h_tab[nbin],
