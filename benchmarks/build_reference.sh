@@ -51,7 +51,23 @@ new = """    file << x.x() << "\\t" << x.y() << "\\t" << x.z() << "\\t" << n << 
 /**
  * @brief Write a snapshot for a split grid."""
 assert old in text, "AsciiFileDensityGridWriter patch anchor not found"
-open(src, "w").write(text.replace(old, new))
+text = text.replace(old, new)
+
+# same extension for the split-grid (task-based) overload
+old2 = """      const double volume = cellit.get_volume();
+      file << x.x() << "\\t" << x.y() << "\\t" << x.z() << "\\t" << n << "\\t"
+           << volume << "\\t" << xH << "\\n";"""
+new2 = """      const double volume = cellit.get_volume();
+      file << x.x() << "\\t" << x.y() << "\\t" << x.z() << "\\t" << n << "\\t"
+           << volume << "\\t" << xH << "\\t"
+           << cellit.get_ionization_variables().get_temperature() << "\\t"
+           << cellit.get_ionization_variables().get_ionic_fraction(ION_He_n) << "\\t"
+           << cellit.get_ionization_variables().get_ionic_fraction(ION_O_n) << "\\t"
+           << cellit.get_ionization_variables().get_ionic_fraction(ION_O_p1) << "\\t"
+           << cellit.get_ionization_variables().get_ionic_fraction(ION_C_p1) << "\\t"
+           << cellit.get_ionization_variables().get_ionic_fraction(ION_N_n) << "\\n";"""
+assert old2 in text, "split-grid ascii patch anchor not found"
+open(src, "w").write(text.replace(old2, new2))
 print("patched", src)
 EOF
 
