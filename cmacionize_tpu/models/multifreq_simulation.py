@@ -86,7 +86,7 @@ def _solve_temperature_jit(T_prev, j, h, nd, abundances, pahfac, crfac):
 
 
 def solve_cell_state(j, h, nd, T_prev, abundances, do_temp,
-                     pahfac=0.0, crfac=0.0):
+                     pahfac=0.0, crfac=0.0, fixed_alpha=None):
     """Per-cell coupled ionization(+temperature) solve — geometry-agnostic.
 
     The multi-element state machinery shared by the Cartesian, AMR and
@@ -111,16 +111,28 @@ def solve_cell_state(j, h, nd, T_prev, abundances, do_temp,
     else:
         T = T_prev
         AHe = abundances["He"]
-        alphaH = recombination.recombination_rate("H_n", T)
-        alphaHe = recombination.recombination_rate("He_n", T)
+        if fixed_alpha is not None:
+            fa = dict(fixed_alpha)
+            alphaH = jnp.full_like(T, fa.get("H_n", 0.0))
+            # zero alphaHe is degenerate in the coupled solve; with inert He
+            # (AHe == 0) the value is irrelevant, keep it finite
+            alphaHe = jnp.full_like(T, max(fa.get("He_n", 0.0), 1e-30))
+            alphas = {
+                # floor avoids 0/0 for ions with sigma = alpha = 0
+                name: jnp.full_like(T, max(fa.get(name, 0.0), 1e-300))
+                for name in _METAL_NAMES
+            }
+        else:
+            alphaH = recombination.recombination_rate("H_n", T)
+            alphaHe = recombination.recombination_rate("He_n", T)
+            alphas = {
+                name: recombination.recombination_rate(name, T)
+                for name in _METAL_NAMES
+            }
         h0, he0 = ionization.hydrogen_helium_neutral_fractions(
             j["H_n"], j["He_n"], nd, AHe, T, alphaH, alphaHe
         )
         ne = nd * (1.0 - h0 + AHe * (1.0 - he0))
-        alphas = {
-            name: recombination.recombination_rate(name, T)
-            for name in _METAL_NAMES
-        }
         metals = ionization.metal_ion_fractions(
             {name: j[name] for name in _METAL_NAMES},
             ne, T, nd * h0, nd * he0 * AHe, nd * (1.0 - h0), alphas,
@@ -174,6 +186,12 @@ class MultiFreqConfig:
     # /root/reference/src/PhotonSourceSpectrumFactory.hpp:99-112) — built by
     # from_params via cmacionize_tpu.models.atmosphere_spectra
     spectrum_table: Optional[Tuple] = None
+    # FixedValue microphysics (CrossSectionsFactory /
+    # RecombinationRatesFactory "FixedValue", the stromgren benchmark
+    # family): frequency-independent per-ion cross sections and
+    # temperature-independent recombination rates, keyed by ion name
+    fixed_sigma: Optional[Tuple] = None  # ((name, value_m2), ...)
+    fixed_alpha: Optional[Tuple] = None  # ((name, value_m3_s), ...)
 
     @classmethod
     def from_params(cls, params) -> "MultiFreqConfig":
@@ -196,6 +214,45 @@ class MultiFreqConfig:
             for key in (f"Abundances:{element}", f"AbundanceModel:{element}"):
                 if params.has_value(key):
                     abund[element] = params.get_number(key)
+
+        # FixedValue microphysics (reference param naming: hydrogen_0,
+        # helium_0, carbon_1, ... cf. FixedValueCrossSections.hpp /
+        # FixedValueRecombinationRates.hpp)
+        _ION_PARAM_NAMES = {
+            "H_n": "hydrogen_0", "He_n": "helium_0",
+            "C_p1": "carbon_1", "C_p2": "carbon_2",
+            "N_n": "nitrogen_0", "N_p1": "nitrogen_1", "N_p2": "nitrogen_2",
+            "O_n": "oxygen_0", "O_p1": "oxygen_1",
+            "Ne_n": "neon_0", "Ne_p1": "neon_1",
+            "S_p1": "sulphur_1", "S_p2": "sulphur_2", "S_p3": "sulphur_3",
+        }
+        fixed_sigma = None
+        if params.get_string("CrossSections:type", "Verner") == "FixedValue":
+            fixed_sigma = tuple(
+                (name, params.get_physical_value(
+                    f"CrossSections:{pname}", "surface area", "0. m^2"))
+                for name, pname in _ION_PARAM_NAMES.items())
+        fixed_alpha = None
+        _ALPHA_PARAM_NAMES = {
+            "H_n": "hydrogen_1", "He_n": "helium_1",
+            "C_p1": "carbon_2", "C_p2": "carbon_3",
+            "N_n": "nitrogen_1", "N_p1": "nitrogen_2", "N_p2": "nitrogen_3",
+            "O_n": "oxygen_1", "O_p1": "oxygen_2",
+            "Ne_n": "neon_1", "Ne_p1": "neon_2",
+            "S_p1": "sulphur_2", "S_p2": "sulphur_3", "S_p3": "sulphur_4",
+        }
+        if params.get_string(
+                "RecombinationRates:type", "Verner") == "FixedValue":
+            fixed_alpha = tuple(
+                (name, params.get_physical_value(
+                    f"RecombinationRates:{pname}", "reaction rate",
+                    "0. m^3 s^-1"))
+                for name, pname in _ALPHA_PARAM_NAMES.items())
+        if fixed_sigma is not None and dict(fixed_sigma).get("He_n", 0.0) == 0.0:
+            # inert helium (the stromgren family): remove it from the
+            # opacity/balance entirely
+            abund = dict(abund)
+            abund["He"] = 0.0
         return cls(
             geometry=geometry,
             number_density=params.get_physical_value(
@@ -237,6 +294,8 @@ class MultiFreqConfig:
                 "TemperatureCalculator:cosmic ray heating factor", 0.0
             ),
             spectrum_table=spectrum_table,
+            fixed_sigma=fixed_sigma,
+            fixed_alpha=fixed_alpha,
         )
 
 
@@ -282,7 +341,14 @@ class MultiFreqIonizationSimulation:
         self.bin_edges = np.linspace(nu_min, nu_max, config.n_bins + 1)
         self.bin_centers = 0.5 * (self.bin_edges[1:] + self.bin_edges[:-1])
         # per-ion cross sections at bin centers [n_ion, n_bins]
-        self.sigma_table = xsec_mod.tabulate_cross_sections(self.bin_centers)
+        if config.fixed_sigma is not None:
+            fixed = dict(config.fixed_sigma)
+            self.sigma_table = np.stack([
+                np.full(config.n_bins, fixed.get(name, 0.0))
+                for name in ions.ION_NAMES])
+        else:
+            self.sigma_table = xsec_mod.tabulate_cross_sections(
+                self.bin_centers)
         heating = np.stack(
             [
                 self.sigma_table[ions.ION_H_n] * (self.bin_centers - constants.NU_ION_H),
@@ -643,6 +709,7 @@ class MultiFreqIonizationSimulation:
             j, h, nd,
             jax.device_put(jax.device_get(self.temperature), cpu),
             cfg.abundances, do_temp, pahfac=cfg.pahfac, crfac=cfg.crfac,
+            fixed_alpha=cfg.fixed_alpha,
         )
         return T, xion, j
 
