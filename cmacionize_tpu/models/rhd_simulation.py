@@ -483,6 +483,12 @@ class RHDSimulation:
                 tau, weight, shape,
             )
             tally = jnp.zeros(chi.shape, chi.dtype)
+            # plain blocked march (NOT the cascade): in the RHD radiation
+            # loop the medium is mostly neutral — packets terminate within a
+            # few cells, so the march ends after a handful of phases and the
+            # cascade's compaction sorts are pure overhead (probed on the
+            # 64³ starbench; the cascade only pays off on slowly-decaying
+            # survival curves like converged stromgren)
             tally, _ = traversal.trace_packets_auto(
                 chi, packets, tally,
                 shape=shape, periodic=self.geometry.periodic,
