@@ -85,7 +85,7 @@ def main():
     print(f"Stromgren radius: {r_st / PC:.3f} pc")
 
     t0 = time.time()
-    sim.run(n_steps=n_steps, log_every=max(1, n_steps // 8))
+    sim.advance(n_steps, log_every=max(1, n_steps // 8))
     elapsed = time.time() - t0
     ncell = np.prod(geometry.shape)
     print(f"{n_steps} RHD steps in {elapsed:.1f}s "

@@ -289,32 +289,69 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
     log.status(f"wrote per-cell neutral fractions -> {out}")
 
 
-def _run_rhd(params, log, seed):
+def _run_rhd(params, log, seed, n_devices_flag=0):
     """Radiation hydrodynamics (starbench/bondi-class problems).
 
     All physics selection — external potentials, self-gravity, cooling,
     turbulence forcing, hydro masks, Bondi boundaries, time-dependent
     sources + stellar feedback — happens in RHDSimulation.from_params
     (mirroring /root/reference/src/RadiationHydrodynamicsSimulation.cpp:250-392).
+
+    The production loop writes a NUMBERED snapshot series every
+    ``snapshot time`` (default total/10) plus the t=0 and final states —
+    the same series the reference's starbench analysis scripts consume
+    (RadiationHydrodynamicsSimulation.cpp:667-676) — and a
+    StatisticsLogger.txt conservation log (``output statistics``,
+    default true, :368-374).
     """
     from cmacionize_tpu import constants
+    from cmacionize_tpu.io.gadget import write_gadget_snapshot
     from cmacionize_tpu.models.rhd_simulation import RHDSimulation
     from cmacionize_tpu.ops import hydro as hydro_mod
 
-    sim = RHDSimulation.from_params(params, log=log, seed=seed)
+    n_dev, tiling = _parallel_config(params, n_devices_flag)
+    if n_dev > 1:
+        from cmacionize_tpu.models.rhd_simulation import ShardedRHDSimulation
+
+        log.status(f"domain decomposition: {n_dev} devices, tiling {tiling}")
+        sim = ShardedRHDSimulation.from_params(
+            params, tiling=tiling, log=log, seed=seed)
+    else:
+        sim = RHDSimulation.from_params(params, log=log, seed=seed)
     geometry = sim.geometry
-    state, xh = sim.run()
-    w = hydro_mod.primitives_from_conserved(state, sim.config.gamma)
-    fields = {
-        "NumberDensity": np.asarray(w.rho) / constants.PROTON_MASS,
-        "Density": np.asarray(w.rho),
-        "Velocities": np.stack(
-            [np.asarray(w.vx), np.asarray(w.vy), np.asarray(w.vz)], axis=-1
-        ),
-        "Pressure": np.asarray(w.p),
-        "NeutralFractionH": np.asarray(xh),
-    }
-    _write_snapshot(params, geometry, fields, sim.time, log)
+    prefix = params.get_string("DensityGridWriter:prefix", "snapshot_")
+    padding = params.get_int("DensityGridWriter:padding", 3)
+    folder = params.get_string(
+        "RadiationHydrodynamicsSimulation:output folder",
+        params.get_string("DensityGridWriter:folder", "."))
+
+    def grid_fields(sim_):
+        w = hydro_mod.primitives_from_conserved(sim_.state, sim_.config.gamma)
+        return {
+            "NumberDensity": np.asarray(w.rho) / constants.PROTON_MASS,
+            "Density": np.asarray(w.rho),
+            "Velocities": np.stack(
+                [np.asarray(w.vx), np.asarray(w.vy), np.asarray(w.vz)],
+                axis=-1,
+            ),
+            "Pressure": np.asarray(w.p),
+            "NeutralFractionH": np.asarray(sim_.neutral_fraction),
+        }
+
+    def write_numbered(sim_, index):
+        name = os.path.join(folder, f"{prefix}{index:0{padding}d}.hdf5")
+        write_gadget_snapshot(name, geometry, grid_fields(sim_), sim_.time)
+        log.status(f"wrote snapshot {name} (t = {sim_.time:.6g} s)")
+
+    statistics = None
+    if params.get_bool(
+            "RadiationHydrodynamicsSimulation:output statistics", True):
+        from cmacionize_tpu.utils.statistics import StatisticsLogger
+
+        statistics = StatisticsLogger(
+            os.path.join(folder, "StatisticsLogger.txt"))
+    write_numbered(sim, 0)  # initial state (cf. reference snapshot 0, :473)
+    sim.run(snapshot_callback=write_numbered, statistics=statistics)
 
 
 def _run_dust(params, log, seed):
@@ -483,7 +520,7 @@ def main(argv=None):
         log.status("dry run: configuration parsed OK")
         return 0
     if args.rhd or args.task_based_rhd:
-        _run_rhd(params, log, args.seed)
+        _run_rhd(params, log, args.seed, n_devices_flag=args.devices)
     elif args.dusty_radiative_transfer:
         _run_dust(params, log, args.seed)
     elif args.emission:

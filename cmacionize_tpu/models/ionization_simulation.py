@@ -231,6 +231,11 @@ class HOnlyIonizationSimulation:
             float(g) for g in geom.position_to_grid_coords(config.source_position)
         )
 
+    def advance(self, n_iterations: int, **kwargs):
+        """Run ``n_iterations`` MORE iterations (the explicit stepping API;
+        ``run(n)`` counts TOTAL iterations — see its docstring)."""
+        return self.run(self.iteration + n_iterations, **kwargs)
+
     def run(self, n_iterations: Optional[int] = None, adaptive: bool = False,
             restart_manager=None, diagnostics=None):
         """Run MC iterations.

@@ -460,6 +460,55 @@ def isothermal_hydro_step(
     return conserved_from_primitives(w, gamma_eff)
 
 
+def two_temperature_coupling(
+    u: HydroState,
+    neutral_fraction,
+    *,
+    gamma: float,
+    ionised_temperature: float = 1.0e4,
+    neutral_temperature: float = 100.0,
+    shock_temperature: float = 3.0e4,
+    radiative_heating: bool = True,
+    radiative_cooling: bool = False,
+) -> HydroState:
+    """Ionization → gas-energy coupling (HydroIntegrator.hpp:1288-1339):
+    ionized gas is driven to T_ion, neutral gas to T_neutral, shock-heated
+    gas (T > T_shock) is left alone.  Pure per-cell function — shared by the
+    single-device and domain-decomposed RHD drivers."""
+    from cmacionize_tpu import constants
+
+    xH = neutral_fraction
+    w = primitives_from_conserved(u, gamma)
+
+    k_over_mp = constants.BOLTZMANN / constants.PROTON_MASS
+    T_target = (
+        ionised_temperature * (1.0 - xH) + neutral_temperature * xH
+    )
+    # current gas temperature with mean-particle-mass correction
+    T_old = 0.5 * (1.0 + xH) * w.p / (w.rho * k_over_mp)
+    shock_heated = T_old > shock_temperature
+
+    ufac = 2.0 * k_over_mp / ((gamma - 1.0) * (1.0 + xH))
+    u_target = ufac * T_target
+    u_old = w.p / ((gamma - 1.0) * w.rho)
+    du = u_target - u_old
+    dE = w.rho * du  # per unit volume
+
+    delta = jnp.zeros_like(dE)
+    if radiative_heating:
+        delta = jnp.where(dE > 0.0, dE, delta)
+    if radiative_cooling:
+        dE_lim = jnp.maximum(
+            dE,
+            2.0 * ufac
+            * (neutral_temperature - ionised_temperature) * w.rho,
+        )
+        # factor 1/2 for the mean-particle-mass change (reference :1330)
+        delta = jnp.where(dE < 0.0, 0.5 * dE_lim, delta)
+    delta = jnp.where(shock_heated, 0.0, delta)
+    return u._replace(energy=u.energy + delta)
+
+
 def apply_hydro_mask(u: HydroState, mask, u_masked: HydroState) -> HydroState:
     """Reset the state inside ``mask`` to fixed values.
 

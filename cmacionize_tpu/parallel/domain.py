@@ -56,6 +56,134 @@ def _compact(fields, mask, capacity):
     return out, in_range, overflow
 
 
+def _device_slab_mc_loop(
+    key,
+    chi,
+    *,
+    my,
+    axis,
+    n_dev,
+    nx_loc,
+    ny,
+    nz,
+    n_photons,
+    source_gpos,
+    capacity,
+    max_supersteps,
+):
+    """Device-level MC trace on an x-slab: emit a point-source batch, then
+    superstep (trace → compact crossers → ppermute exchange → merge) until
+    the global live count reaches zero.
+
+    The exchange machinery of SURVEY §2.7 P4 shared by the ionization and
+    RHD drivers.  Runs inside shard_map; ``my`` is the caller's axis index.
+    Returns (tally [n_cell_local], n_escaped, n_overflow, n_truncated).
+    """
+    local_shape = (nx_loc, ny, nz)
+    right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    x_offset = (my * nx_loc).astype(jnp.float32)
+    tally = jnp.zeros(chi.shape, chi.dtype)
+
+    # emission: only the slab containing the source emits (point source)
+    src_dev = int(source_gpos[0]) // nx_loc
+    px, py, pz, dx, dy, dz, tau, _, weight = sources.emit_point_source(
+        key, n_photons, source_gpos
+    )
+    px = px - x_offset  # to local slab coordinates
+    is_mine = my == src_dev
+    active0 = jnp.broadcast_to(is_mine, weight.shape)
+
+    def trace_once(tally, px, py, pz, dx, dy, dz, tau, weight, active):
+        cx = jnp.floor(px).astype(jnp.int32)
+        cy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, ny - 1)
+        cz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, nz - 1)
+        cx_in = jnp.clip(cx, 0, nx_loc - 1)
+        packets = traversal.PacketBatch(
+            px, py, pz, cx_in, cy, cz, dx, dy, dz, tau, weight,
+            active, jnp.zeros_like(active),
+        )
+        return traversal.trace_packets_auto(
+            chi, packets, tally, shape=local_shape
+        )
+
+    def superstep(carry):
+        (step, tally, px, py, pz, dx, dy, dz, tau, weight, active,
+         n_esc, n_over) = carry
+        tally, pk = trace_once(
+            tally, px, py, pz, dx, dy, dz, tau, weight, active
+        )
+        # classify terminations: packets that left through a local x face
+        # continue on the neighbor (unless it is the domain boundary)
+        out_left = active & ~pk.absorbed & ~pk.active & (pk.cx < 0)
+        out_right = active & ~pk.absorbed & ~pk.active & (pk.cx >= nx_loc)
+        at_lo = my == 0
+        at_hi = my == n_dev - 1
+        go_left = out_left & ~at_lo
+        go_right = out_right & ~at_hi
+        escaped = (
+            active & ~pk.absorbed & ~pk.active & ~go_left & ~go_right
+        )
+        n_esc = n_esc + jnp.sum(escaped, dtype=jnp.int32)
+
+        fields = (pk.px, pk.py, pk.pz, pk.dx, pk.dy, pk.dz, pk.tau_left,
+                  pk.weight)
+        send_l, mask_l, ov_l = _compact(fields, go_left, capacity)
+        send_r, mask_r, ov_r = _compact(fields, go_right, capacity)
+        n_over = n_over + ov_l + ov_r
+        # shift local x coordinate into the receiver's frame
+        send_l = (send_l[0] + nx_loc,) + send_l[1:]
+        send_r = (send_r[0] - nx_loc,) + send_r[1:]
+
+        recv_r = jax.lax.ppermute((*send_r, mask_r), axis, right_perm)
+        recv_l = jax.lax.ppermute((*send_l, mask_l), axis, left_perm)
+        # the wrap-around lanes of the circular permute carry only
+        # inactive padding (go_left/right exclude domain boundaries)
+
+        merged = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(recv_r[:-1], recv_l[:-1])
+        )
+        merged_mask = jnp.concatenate([recv_r[-1], recv_l[-1]])
+        # restore the fixed carry width (only the exchange buffers are
+        # narrow — they are what rides the interconnect)
+        pad = n_photons - merged[0].shape[0]
+        if pad > 0:
+            merged = tuple(
+                jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
+                for f in merged
+            )
+            merged_mask = jnp.concatenate(
+                [merged_mask, jnp.zeros((pad,), bool)]
+            )
+            px, py, pz, dx, dy, dz, tau, weight = merged
+            active = merged_mask
+        else:
+            (px, py, pz, dx, dy, dz, tau, weight), active, ov_m = _compact(
+                merged, merged_mask, n_photons
+            )
+            n_over = n_over + ov_m
+        return (
+            step + 1, tally, px, py, pz, dx, dy, dz, tau, weight, active,
+            n_esc, n_over,
+        )
+
+    def cond(carry):
+        step, active = carry[0], carry[10]
+        n_live = jax.lax.psum(jnp.sum(active), axis)
+        return jnp.logical_and(step < max_supersteps, n_live > 0)
+
+    carry = (
+        0, tally, px, py, pz, dx, dy, dz, tau, weight, active0,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+    )
+    carry = jax.lax.while_loop(cond, superstep, carry)
+    tally, active_end, n_esc, n_over = (
+        carry[1], carry[10], carry[11], carry[12]
+    )
+    truncated = jnp.sum(active_end, dtype=jnp.int32)
+    return tally, n_esc, n_over, truncated
+
+
 def make_domain_mc_iteration(
     mesh,
     *,
@@ -103,109 +231,13 @@ def make_domain_mc_iteration(
 
     def device_iteration(keys, neutral_fraction, number_density):
         my = jax.lax.axis_index(axis)
-        x_offset = (my * nx_loc).astype(jnp.float32)
         key = keys[0]
-
         chi = (number_density * neutral_fraction * sigma_dx).reshape(-1)
-        tally = jnp.zeros(chi.shape, chi.dtype)
-
-        # emission: only the slab containing the source emits (point source)
-        src_dev = int(source_gpos[0]) // nx_loc
-        px, py, pz, dx, dy, dz, tau, _, weight = sources.emit_point_source(
-            key, n_photons, source_gpos
+        tally, n_esc, n_over, truncated = _device_slab_mc_loop(
+            key, chi, my=my, axis=axis, n_dev=n_dev, nx_loc=nx_loc,
+            ny=ny, nz=nz, n_photons=n_photons, source_gpos=source_gpos,
+            capacity=capacity, max_supersteps=max_supersteps,
         )
-        px = px - x_offset  # to local slab coordinates
-        is_mine = my == src_dev
-        active0 = jnp.broadcast_to(is_mine, weight.shape)
-
-        def trace_once(tally, px, py, pz, dx, dy, dz, tau, weight, active):
-            cx = jnp.floor(px).astype(jnp.int32)
-            cy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, ny - 1)
-            cz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, nz - 1)
-            cx_in = jnp.clip(cx, 0, nx_loc - 1)
-            packets = traversal.PacketBatch(
-                px, py, pz, cx_in, cy, cz, dx, dy, dz, tau, weight,
-                active, jnp.zeros_like(active),
-            )
-            return traversal.trace_packets_auto(
-                chi, packets, tally, shape=local_shape
-            )
-
-        def superstep(carry):
-            (step, tally, px, py, pz, dx, dy, dz, tau, weight, active,
-             n_esc, n_over) = carry
-            tally, pk = trace_once(
-                tally, px, py, pz, dx, dy, dz, tau, weight, active
-            )
-            # classify terminations: packets that left through a local x face
-            # continue on the neighbor (unless it is the domain boundary)
-            out_left = active & ~pk.absorbed & ~pk.active & (pk.cx < 0)
-            out_right = active & ~pk.absorbed & ~pk.active & (pk.cx >= nx_loc)
-            at_lo = my == 0
-            at_hi = my == n_dev - 1
-            go_left = out_left & ~at_lo
-            go_right = out_right & ~at_hi
-            escaped = (
-                active & ~pk.absorbed & ~pk.active & ~go_left & ~go_right
-            )
-            n_esc = n_esc + jnp.sum(escaped, dtype=jnp.int32)
-
-            fields = (pk.px, pk.py, pk.pz, pk.dx, pk.dy, pk.dz, pk.tau_left,
-                      pk.weight)
-            send_l, mask_l, ov_l = _compact(fields, go_left, capacity)
-            send_r, mask_r, ov_r = _compact(fields, go_right, capacity)
-            n_over = n_over + ov_l + ov_r
-            # shift local x coordinate into the receiver's frame
-            send_l = (send_l[0] + nx_loc,) + send_l[1:]
-            send_r = (send_r[0] - nx_loc,) + send_r[1:]
-
-            recv_r = jax.lax.ppermute((*send_r, mask_r), axis, right_perm)
-            recv_l = jax.lax.ppermute((*send_l, mask_l), axis, left_perm)
-            # the wrap-around lanes of the circular permute carry only
-            # inactive padding (go_left/right exclude domain boundaries)
-
-            merged = tuple(
-                jnp.concatenate([a, b]) for a, b in zip(recv_r[:-1], recv_l[:-1])
-            )
-            merged_mask = jnp.concatenate([recv_r[-1], recv_l[-1]])
-            # restore the fixed carry width (only the exchange buffers are
-            # narrow — they are what rides the interconnect)
-            pad = n_photons - merged[0].shape[0]
-            if pad > 0:
-                merged = tuple(
-                    jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
-                    for f in merged
-                )
-                merged_mask = jnp.concatenate(
-                    [merged_mask, jnp.zeros((pad,), bool)]
-                )
-                px, py, pz, dx, dy, dz, tau, weight = merged
-                active = merged_mask
-            else:
-                (px, py, pz, dx, dy, dz, tau, weight), active, ov_m = _compact(
-                    merged, merged_mask, n_photons
-                )
-                n_over = n_over + ov_m
-            return (
-                step + 1, tally, px, py, pz, dx, dy, dz, tau, weight, active,
-                n_esc, n_over,
-            )
-
-        def cond(carry):
-            step, active = carry[0], carry[10]
-            n_live = jax.lax.psum(jnp.sum(active), axis)
-            return jnp.logical_and(step < max_supersteps, n_live > 0)
-
-        carry = (
-            0, tally, px, py, pz, dx, dy, dz, tau, weight, active0,
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-        )
-        carry = jax.lax.while_loop(cond, superstep, carry)
-        tally, active_end, n_esc, n_over = (
-            carry[1], carry[10], carry[11], carry[12]
-        )
-        truncated = jnp.sum(active_end, dtype=jnp.int32)
-
         jH = tally.reshape(local_shape) * jfac_scale
         new_x = ionization.hydrogen_neutral_fraction(jH, number_density, alpha)
         diagnostics = {
@@ -576,6 +608,61 @@ def _halo_pad_axis0(field, axis_name, my, n_dev, bc_lo, bc_hi, *,
     return jnp.concatenate([ghost_lo, field, ghost_hi], axis=0)
 
 
+def _device_hydro_body(
+    u,
+    dt,
+    *,
+    my,
+    axis,
+    n_dev,
+    boundaries,
+    cell_size,
+    gamma,
+    riemann_solver: str = "HLLC",
+    gravity=None,
+    isothermal_sound_speed=None,
+):
+    """Device-level MUSCL-Hancock step on an x-slab: 2-cell primitive halo
+    exchange over ICI + the whole-array padded update.  Shared by
+    make_domain_hydro_step and the fused RHD step.
+
+    ``isothermal_sound_speed``: γ == 1 mode — pressure re-pinned to c_s²ρ
+    before and after the step (cf. ops.hydro.isothermal_hydro_step).
+    """
+    normal = {0: 1, 1: 2, 2: 3}
+    if isothermal_sound_speed is not None:
+        w0 = hydro_mod.primitives_from_conserved(u, gamma)
+        w0 = w0._replace(p=isothermal_sound_speed**2 * w0.rho)
+        u = hydro_mod.conserved_from_primitives(w0, gamma)
+    w = hydro_mod.primitives_from_conserved(u, gamma)
+    fields = list(w)
+    # sharded x-axis: halo exchange + edge BCs
+    bc_x_lo, bc_x_hi = boundaries[0]
+    for i, f in enumerate(fields):
+        fields[i] = _halo_pad_axis0(
+            f, axis, my, n_dev, bc_x_lo, bc_x_hi,
+            flip_sign=(i == normal[0]),
+        )
+    # local y/z axes: ordinary BC padding
+    for ax in (1, 2):
+        bc_lo, bc_hi = boundaries[ax]
+        for i, f in enumerate(fields):
+            fields[i] = hydro_mod._pad_axis(
+                f, ax, bc_lo, bc_hi, n=2,
+                flip_sign=(i == normal[ax]),
+            )
+    wp = hydro_mod.Primitives(*fields)
+    u = hydro_mod.hydro_step_padded(
+        u, wp, dt, cell_size=cell_size, gamma=gamma,
+        riemann_solver=riemann_solver, gravity=gravity,
+    )
+    if isothermal_sound_speed is not None:
+        w1 = hydro_mod.primitives_from_conserved(u, gamma)
+        w1 = w1._replace(p=isothermal_sound_speed**2 * w1.rho)
+        u = hydro_mod.conserved_from_primitives(w1, gamma)
+    return u
+
+
 def make_domain_hydro_step(
     mesh,
     *,
@@ -596,30 +683,12 @@ def make_domain_hydro_step(
     Returns (step_fn, sharding): step_fn(u: HydroState, dt) -> HydroState.
     """
     n_dev = mesh.shape[axis]
-    normal = {0: 1, 1: 2, 2: 3}
 
     def device_step(u, dt):
         my = jax.lax.axis_index(axis)
-        w = hydro_mod.primitives_from_conserved(u, gamma)
-        fields = list(w)
-        # sharded x-axis: halo exchange + edge BCs
-        bc_x_lo, bc_x_hi = boundaries[0]
-        for i, f in enumerate(fields):
-            fields[i] = _halo_pad_axis0(
-                f, axis, my, n_dev, bc_x_lo, bc_x_hi,
-                flip_sign=(i == normal[0]),
-            )
-        # local y/z axes: ordinary BC padding
-        for ax in (1, 2):
-            bc_lo, bc_hi = boundaries[ax]
-            for i, f in enumerate(fields):
-                fields[i] = hydro_mod._pad_axis(
-                    f, ax, bc_lo, bc_hi, n=2,
-                    flip_sign=(i == normal[ax]),
-                )
-        wp = hydro_mod.Primitives(*fields)
-        return hydro_mod.hydro_step_padded(
-            u, wp, dt, cell_size=cell_size, gamma=gamma
+        return _device_hydro_body(
+            u, dt, my=my, axis=axis, n_dev=n_dev, boundaries=boundaries,
+            cell_size=cell_size, gamma=gamma,
         )
 
     sharded = shard_map(
@@ -652,3 +721,122 @@ def domain_cfl_timestep(mesh, *, cell_size, gamma=5.0 / 3.0, cfl=0.2,
             check_rep=False,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded RHD: radiation superstep exchange + two-temperature coupling +
+# halo-exchange hydro in ONE fused sharded step
+# ---------------------------------------------------------------------------
+
+
+def make_domain_rhd_step(
+    mesh,
+    *,
+    global_shape: Tuple[int, int, int],
+    boundaries,
+    cell_size,
+    gamma: float,
+    n_photons: int,
+    nloop: int,
+    sigma_dx: float,
+    source_gpos: Tuple[float, float, float],
+    jfac_scale: float,
+    alpha: float,
+    coupling: dict,
+    riemann_solver: str = "HLLC",
+    isothermal_sound_speed=None,
+    cooling: bool = False,
+    axis: str = "x",
+    capacity: int = 0,
+    max_supersteps: int = 256,
+):
+    """Build the fused domain-decomposed RHD step (SURVEY §7 Phase 3+4; the
+    distributed integration of radiation and hydro the reference designed in
+    /root/reference/src/TaskBasedRadiationHydrodynamicsSimulation.cpp:1546-2122
+    as one task graph).
+
+    One call = ``nloop`` MC ionization iterations with ppermute packet
+    exchange over the slab mesh, the two-temperature energy coupling, and a
+    halo-exchange MUSCL-Hancock hydro step — all inside a single shard_map,
+    so the whole RHD step is one XLA program with ICI collectives and no
+    host round trips.
+
+    ``coupling``: kwargs for ops.hydro.two_temperature_coupling (minus
+    gamma).  Returns (step_fn, shardings): step_fn(keys, u, xh, dt) →
+    (u, xh, diagnostics); u/xh sharded P(axis), keys a [n_dev] key array.
+    """
+    n_dev = mesh.shape[axis]
+    nx, ny, nz = global_shape
+    assert nx % n_dev == 0, "grid x must divide over devices"
+    nx_loc = nx // n_dev
+    if nx_loc < 2:
+        raise ValueError(
+            f"slab width {nx_loc} < hydro halo width 2: grid x = {nx} "
+            f"cannot shard over {n_dev} devices")
+    local_shape = (nx_loc, ny, nz)
+    if capacity <= 0:
+        capacity = max(4096, n_photons // 2 + n_photons // 32)
+    capacity = min(capacity, n_photons)
+    from cmacionize_tpu import constants
+
+    def device_step(keys, u, xh, dt):
+        my = jax.lax.axis_index(axis)
+        key = keys[0]
+        n_esc = jnp.asarray(0, jnp.int32)
+        n_over = jnp.asarray(0, jnp.int32)
+        n_trunc = jnp.asarray(0, jnp.int32)
+        if nloop > 0:
+            number_density = u.rho / constants.PROTON_MASS
+            for _ in range(nloop):
+                key, sub = jax.random.split(key)
+                chi = (number_density * xh * sigma_dx).reshape(-1)
+                tally, esc, over, trunc = _device_slab_mc_loop(
+                    sub, chi, my=my, axis=axis, n_dev=n_dev, nx_loc=nx_loc,
+                    ny=ny, nz=nz, n_photons=n_photons,
+                    source_gpos=source_gpos, capacity=capacity,
+                    max_supersteps=max_supersteps,
+                )
+                jH = tally.reshape(local_shape) * jfac_scale
+                xh = ionization.hydrogen_neutral_fraction(
+                    jH, number_density, alpha)
+                n_esc, n_over, n_trunc = (
+                    n_esc + esc, n_over + over, n_trunc + trunc)
+            u = hydro_mod.two_temperature_coupling(
+                u, xh, gamma=gamma, **coupling)
+        if cooling:
+            from cmacionize_tpu.ops import derijcke
+
+            u = derijcke.cooling_substep(u, dt, gamma)
+        u = _device_hydro_body(
+            u, dt, my=my, axis=axis, n_dev=n_dev, boundaries=boundaries,
+            cell_size=cell_size, gamma=gamma, riemann_solver=riemann_solver,
+            isothermal_sound_speed=isothermal_sound_speed,
+        )
+        diagnostics = {
+            "n_escaped": jax.lax.psum(n_esc, axis),
+            "buffer_overflow": jax.lax.psum(n_over, axis),
+            "truncated_live": jax.lax.psum(n_trunc, axis),
+        }
+        return u, xh, diagnostics
+
+    sharded = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(
+            P(axis),
+            hydro_mod.HydroState(*([P(axis)] * 5)),
+            P(axis),
+            P(),
+        ),
+        out_specs=(
+            hydro_mod.HydroState(*([P(axis)] * 5)),
+            P(axis),
+            P(),
+        ),
+        check_rep=False,
+    )
+    shardings = {
+        "field": NamedSharding(mesh, P(axis)),
+        "keys": NamedSharding(mesh, P(axis)),
+    }
+    return jax.jit(sharded), shardings

@@ -42,6 +42,16 @@ class TimeLine:
     def current_time(self) -> float:
         return self._t_begin + self._current * self._tick
 
+    def restore(self, time: float) -> None:
+        """Re-enter the timeline mid-stream (restart resume, cf. the
+        reference's TimeLine restart constructor, TimeLine.hpp:227)."""
+        self._current = min(
+            int(round((time - self._t_begin) / self._tick)), self.TOTAL_TICKS
+        )
+        remaining = self.TOTAL_TICKS - self._current
+        if 0 < remaining < self._step_ticks:
+            self._step_ticks = remaining
+
     @property
     def current_timestep(self) -> float:
         return self._step_ticks * self._tick

@@ -45,7 +45,7 @@ def test_starbench_early_expansion():
         background_temperature=100.0,
     )
     sim = RHDSimulation(config, seed=5)
-    state, xH = sim.run(n_steps=n_steps, log_every=10**9)
+    state, xH = sim.advance(n_steps, log_every=10**9)
 
     r_st = (3 * 1e49 / (4 * np.pi * (3.113e9) ** 2 * 2.7e-19)) ** (1 / 3)
     r_front = sim.ionization_front_radius()
@@ -98,17 +98,17 @@ def test_rhd_restart_round_trip(tmp_path):
         background_density=3.113e9,
     )
     sim = RHDSimulation(config, seed=9)
-    sim.run(n_steps=5, log_every=10**9)
+    sim.advance(5, log_every=10**9)
     manager = RestartManager(str(tmp_path), interval_seconds=1e9)
     checkpoint = sim.write_restart(manager)
 
     # continue the original
-    sim.run(n_steps=3, log_every=10**9)
+    sim.advance(3, log_every=10**9)
 
     # resume a fresh driver from the checkpoint and take the same 3 steps
     sim2 = RHDSimulation(config, seed=1234)
     sim2.load_restart(checkpoint)
-    sim2.run(n_steps=3, log_every=10**9)
+    sim2.advance(3, log_every=10**9)
 
     assert sim2.time == sim.time
     np.testing.assert_array_equal(

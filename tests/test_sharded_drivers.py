@@ -160,6 +160,157 @@ class TestShardedMultifreq:
         assert v_d == pytest.approx(v_sd, rel=0.15)
 
 
+def _rhd_config(shape=(16, 16, 16), n_photons=8192, nloop=2):
+    """Small starbench-like RHD workload."""
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.rhd_simulation import RHDConfig
+
+    pc = 3.086e16
+    myr = 3.15576e13
+    total = 0.05 * myr
+    geometry = GridGeometry(
+        (-1.256 * pc,) * 3, (2.512 * pc,) * 3, shape)
+    return RHDConfig(
+        geometry=geometry,
+        gamma=1.0001,
+        timestep=total / 64.0,
+        total_time=total,
+        luminosity=1e49,
+        source_position=(0.0, 0.0, 0.0),
+        cross_section=6.3e-22,
+        recombination_rate=2.7e-19,
+        n_photons=n_photons,
+        nloop=nloop,
+        background_density=3.113e9,
+        background_temperature=100.0,
+    )
+
+
+class TestShardedRHD:
+    """The FULL coupled sharded step (VERDICT r3 ask #2): radiation
+    superstep exchange + two-temperature coupling + halo-exchange hydro in
+    one shard_map program."""
+
+    def test_matches_single_device_to_mc_noise(self):
+        from cmacionize_tpu.models.rhd_simulation import (
+            RHDSimulation,
+            ShardedRHDSimulation,
+        )
+
+        config = _rhd_config()
+        n_steps = 24
+        sharded = ShardedRHDSimulation(config, tiling=(4, 1, 1), seed=5)
+        sharded.advance(n_steps, log_every=10**9)
+        assert sharded.last_diagnostics is None or (
+            sharded.last_diagnostics["buffer_overflow"] == 0)
+
+        single = RHDSimulation(config, seed=5)
+        single.advance(n_steps, log_every=10**9)
+
+        r_dd = sharded.ionization_front_radius()
+        r_sd = single.ionization_front_radius()
+        assert r_dd == pytest.approx(r_sd, rel=0.1)
+        # mass conservation across the slab exchange (reflective box)
+        m_dd = float(jnp.sum(sharded.state.rho))
+        m_sd = float(jnp.sum(single.state.rho))
+        assert m_dd == pytest.approx(m_sd, rel=1e-4)
+        # the D-type shell shows the same expansion: compare mean radial
+        # density profiles
+        rho_dd = np.asarray(sharded.state.rho)
+        rho_sd = np.asarray(single.state.rho)
+        assert np.corrcoef(rho_dd.ravel(), rho_sd.ravel())[0, 1] > 0.97
+
+    def test_production_run_cfl_timeline_snapshots(self):
+        """run() end-to-end on the sharded driver: CFL + TimeLine +
+        snapshot cadence."""
+        from cmacionize_tpu.models.rhd_simulation import (
+            RHDConfig,
+            ShardedRHDSimulation,
+        )
+
+        base = _rhd_config(shape=(8, 8, 8), n_photons=2048, nloop=1)
+        config = RHDConfig(**{
+            **dataclasses.asdict(base),
+            "geometry": base.geometry,
+            "minimum_timestep": base.timestep,
+            "maximum_timestep": base.total_time / 8.0,
+            "snapshot_time": base.total_time / 4.0,
+        })
+        sim = ShardedRHDSimulation(config, tiling=(2, 1, 1), seed=7)
+        snaps = []
+        sim.run(snapshot_callback=lambda s, i: snaps.append((i, s.time)),
+                log_every=10**9)
+        assert sim.time == pytest.approx(config.total_time, rel=1e-6)
+        indices = [i for i, _ in snaps]
+        assert indices == sorted(indices)
+        assert len(snaps) >= 3  # interior cadence + final
+        assert snaps[-1][1] == pytest.approx(config.total_time, rel=1e-6)
+
+
+def test_cli_sharded_rhd_starbench(tmp_path):
+    """`cmacionize-tpu --rhd -p starbench-like.param` with a Parallel block
+    (VERDICT r3 ask #2 'Done =' criterion): sharded production run writing
+    a numbered snapshot series."""
+    param_text = """
+SimulationBox:
+  anchor: [-1.256 pc, -1.256 pc, -1.256 pc]
+  sides: [2.512 pc, 2.512 pc, 2.512 pc]
+DensityGrid:
+  number of cells: [16, 16, 16]
+DensityFunction:
+  density: 3113. cm^-3
+  temperature: 100. K
+PhotonSourceDistribution:
+  type: SingleStar
+  luminosity: 1.e49 s^-1
+  position: [0. pc, 0. pc, 0. pc]
+CrossSections:
+  hydrogen_0: 6.3e-18 cm^2
+RecombinationRates:
+  hydrogen_1: 2.7e-13 cm^3 s^-1
+HydroIntegrator:
+  polytropic index: 1.0001
+RadiationHydrodynamicsSimulation:
+  total time: 0.02 Myr
+  minimum timestep: 0.000625 Myr
+  maximum timestep: 0.000625 Myr
+  snapshot time: 0.01 Myr
+  number of photons: 4096
+  number of iterations: 1
+Parallel:
+  tiling: [4, 1, 1]
+DensityGridWriter:
+  prefix: sbench_
+"""
+    param_file = tmp_path / "sbench.param"
+    param_file.write_text(param_text)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    result = subprocess.run(
+        [sys.executable, "-m", "cmacionize_tpu", "--rhd",
+         "--params", str(param_file)],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr
+    # numbered series: initial + cadence + final
+    snaps = sorted(tmp_path.glob("sbench_*.hdf5"))
+    assert len(snaps) >= 3, [s.name for s in snaps]
+    assert (tmp_path / "sbench_000.hdf5").exists()
+    assert (tmp_path / "StatisticsLogger.txt").exists()
+
+    from cmacionize_tpu.io.gadget import read_gadget_snapshot
+
+    _, _, fields = read_gadget_snapshot(str(snaps[-1]))
+    xh = fields["NeutralFractionH"]
+    assert xh.min() < 1e-3  # ionized bubble formed
+    assert xh.max() > 0.9
+
+
 def test_cli_sharded_stromgren(tmp_path):
     """`cmacionize-tpu -p stromgren.param --devices 8` end-to-end
     (VERDICT r2 'Done =' criterion)."""
