@@ -171,7 +171,9 @@ def trace_packets(
         _debug_check(
             jnp.all(jnp.isfinite(deposit)), "traversal: non-finite deposit"
         )
-        tly = tly.at[flat].add(deposit, mode="drop")
+        # pin the tally dtype at the scatter boundary (a f64->f32
+        # scatter is a FutureWarning today and an error in future JAX)
+        tly = tly.at[flat].add(deposit.astype(tly.dtype), mode="drop")
 
         # advance: land exactly on the crossed wall (axis of minimal t) or at
         # the absorption point inside the cell
@@ -424,7 +426,7 @@ def trace_packets_blocked(
             )
             march = march & ~absorbed_now & inside & same_block
 
-        tlyB = tlyB.at[bflat].add(D, mode="drop")
+        tlyB = tlyB.at[bflat].add(D.astype(tlyB.dtype), mode="drop")
         pk = PacketBatch(
             px, py, pz, cx, cy, cz, pk.dx, pk.dy, pk.dz,
             tau_left, pk.weight, active, absorbed,
@@ -434,7 +436,8 @@ def trace_packets_blocked(
     _, tly_rows, packets = jax.lax.while_loop(
         cond, body, (0, tly_rows, packets)
     )
-    tally = tally + _block_unlayout(tly_rows, shape, block)
+    tally = tally + _block_unlayout(tly_rows, shape, block).astype(
+        tally.dtype)
     return tally, packets
 
 
@@ -540,7 +543,8 @@ def trace_packets_spectral(
         l_travel = jnp.where(absorbed_now, pk.tau_left / chi, l_exit)
 
         deposit = jnp.where(pk.active, l_travel * pk.weight, 0.0)
-        tly = tly.at[pk.fbin * ncell + flat].add(deposit, mode="drop")
+        tly = tly.at[pk.fbin * ncell + flat].add(
+            deposit.astype(tly.dtype), mode="drop")
 
         px = pk.px + pk.dx * l_travel
         py = pk.py + pk.dy * l_travel
@@ -735,7 +739,8 @@ def trace_packets_spectral_blocked(
             )
             march = march & ~absorbed_now & inside & same_block
 
-        tlyB = tlyB.at[pk.fbin * n_block + bflat].add(D, mode="drop")
+        tlyB = tlyB.at[pk.fbin * n_block + bflat].add(
+            D.astype(tlyB.dtype), mode="drop")
         pk = SpectralPacketBatch(
             px, py, pz, cx, cy, cz, pk.dx, pk.dy, pk.dz,
             tau_left, pk.weight, pk.sig_h, pk.sig_he, pk.fbin, active, absorbed,
@@ -748,7 +753,8 @@ def trace_packets_spectral_blocked(
     per_bin = jax.vmap(
         lambda rows: _block_unlayout(rows, shape, block)
     )(tly_rows.reshape(n_bins, n_block, W))
-    tally2d = tally2d + per_bin.reshape(n_bins * ncell)
+    tally2d = tally2d + per_bin.reshape(n_bins * ncell).astype(
+        tally2d.dtype)
     return tally2d, packets
 
 

@@ -26,7 +26,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cmacionize_tpu.models import sources
@@ -252,7 +252,7 @@ def make_domain_mc_iteration(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     shardings = {
         "field": NamedSharding(mesh, P(axis)),
@@ -561,7 +561,7 @@ def make_domain_spectral_trace(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(P(None, axis), P(None, axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     shardings = {
         "field": NamedSharding(mesh, P(axis)),
@@ -699,7 +699,7 @@ def make_domain_hydro_step(
             P(),
         ),
         out_specs=hydro_mod.HydroState(*([P(axis)] * 5)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded), NamedSharding(mesh, P(axis))
 
@@ -718,7 +718,7 @@ def domain_cfl_timestep(mesh, *, cell_size, gamma=5.0 / 3.0, cfl=0.2,
             mesh=mesh,
             in_specs=(hydro_mod.HydroState(*([P(axis)] * 5)),),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
     )
 
@@ -833,7 +833,7 @@ def make_domain_rhd_step(
             P(axis),
             P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     shardings = {
         "field": NamedSharding(mesh, P(axis)),

@@ -36,7 +36,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cmacionize_tpu.models import sources
@@ -307,7 +307,7 @@ def make_domain_mc_iteration_3d(
                 "truncated_live": P(), "packets_traced": P(*AXES),
             },
         ),
-        check_rep=False,
+        check_vma=False,
     )
     shardings = {
         "field": NamedSharding(mesh, P(*AXES)),

@@ -19,7 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from cmacionize_tpu.models import sources
 from cmacionize_tpu.ops import ionization, traversal
@@ -73,6 +73,6 @@ def make_dp_iteration(
         mesh=mesh,
         in_specs=(P(axis), P(), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

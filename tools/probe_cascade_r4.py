@@ -93,7 +93,7 @@ def main():
     done = 0
     for target in stages:
         t0 = time.time()
-        sim.run(target - done, log_every=1000)
+        sim.advance(target - done, log_every=1000)
         done = target
         sync(sim.neutral_fraction)
         print(f"--- at step {target} (advance took {time.time()-t0:.1f}s), "

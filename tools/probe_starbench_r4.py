@@ -53,17 +53,18 @@ def main():
     # advance a few steps so we're in the early-expansion regime the
     # reference was timed in
     t0 = time.time()
-    sim.run(steps_in, log_every=1000)
+    sim.advance(steps_in, log_every=1000)
     sync(sim.neutral_fraction)
     print(f"warmup {steps_in} steps (incl compile): {time.time() - t0:.1f}s")
 
     # --- full step, per-step jit
     key = jax.random.PRNGKey(123)
     u, xh = sim.state, sim.neutral_fraction
-    step = jax.jit(sim._step)
-    r = step(key, u, xh)
+    dtv = jnp.float32(config.timestep)
+    step = jax.jit(sim._step, static_argnames=("do_radiation",))
+    r = step(key, u, xh, dtv)
     sync(r[1])
-    dt = timeit(lambda: sync(step(key, u, xh)[1]))
+    dt = timeit(lambda: sync(step(key, u, xh, dtv)[1]))
     print(f"full step: {dt:.3f}s")
 
     # --- radiation update alone (nloop={config.nloop})
@@ -128,7 +129,7 @@ def main():
 
     # --- hydro step alone
     hs = jax.jit(lambda u: hydro.hydro_step(
-        u, cfg.timestep, boundaries=cfg.boundaries,
+        u, jnp.float32(cfg.timestep), boundaries=cfg.boundaries,
         cell_size=(sim.dx,) * 3, gamma=cfg.gamma,
         riemann_solver=cfg.riemann_solver))
     r = hs(u)
