@@ -101,6 +101,15 @@ def _run_ionization(params, log, seed, n_devices_flag=0):
         )
 
         config = MultiFreqConfig.from_params(params)
+        if params.has_value("TrackerManager:filename"):
+            # raising the photon budget for tracked runs mirrors
+            # TaskBasedIonizationSimulation.cpp:671-672
+            import dataclasses as _dc
+
+            min_photons = params.get_int(
+                "TrackerManager:minimum number of photon packets", 0)
+            if min_photons > config.n_photons:
+                config = _dc.replace(config, n_photons=min_photons)
         density = init_T = None
         if params.get_string("DensityFunction:type", "Homogeneous") != "Homogeneous":
             from cmacionize_tpu.models.density_functions import (
@@ -125,7 +134,27 @@ def _run_ionization(params, log, seed, n_devices_flag=0):
             config, log=log, seed=seed, density=density,
             initial_temperature=init_T, mesh=mesh,
         )
+        cell_trackers = None
+        if params.has_value("TrackerManager:filename"):
+            from cmacionize_tpu.models.trackers import CellTrackers
+
+            cell_trackers = CellTrackers.from_reference_yaml(
+                config.geometry,
+                params.get_string("TrackerManager:filename"),
+                sim.bin_edges,
+            )
+            sim.attach_cell_trackers(cell_trackers)
+            log.status(
+                f"placed {cell_trackers.n_track} tracker(s) from "
+                + params.get_string("TrackerManager:filename"))
         xion, temperature = sim.run()
+        if cell_trackers is not None:
+            from cmacionize_tpu.models import ions as ions_mod
+
+            written = cell_trackers.write_outputs(
+                ".", sigma_table=sim.sigma_table,
+                ion_names=ions_mod.ION_NAMES)
+            log.status(f"wrote {len(written)} tracker output(s)")
         fields = {
             "NumberDensity": np.asarray(sim.number_density),
             "Temperature": np.asarray(temperature),
@@ -350,8 +379,14 @@ def _run_rhd(params, log, seed, n_devices_flag=0):
 
         statistics = StatisticsLogger(
             os.path.join(folder, "StatisticsLogger.txt"))
+    from cmacionize_tpu.models.trackers import LiveOutputManager
+
+    live_output = LiveOutputManager.from_params(params, geometry, folder)
     write_numbered(sim, 0)  # initial state (cf. reference snapshot 0, :473)
-    sim.run(snapshot_callback=write_numbered, statistics=statistics)
+    sim.run(snapshot_callback=write_numbered, statistics=statistics,
+            live_output=live_output)
+    if live_output is not None:
+        log.status(f"wrote {len(live_output.written)} live output file(s)")
 
 
 def _run_dust(params, log, seed):

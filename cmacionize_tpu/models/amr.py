@@ -580,7 +580,7 @@ class MultiFreqAMRSimulation:
                     kl, kr, kd, kt = jax.random.split(kl, 4)
                     flat = (pk.cx * fine_shape[1] + pk.cy) * fine_shape[2] + pk.cz
                     flat = jnp.clip(flat, 0, xH_f.shape[0] - 1)
-                    remask, new_freq = reemission_mod.reemit_batch(
+                    remask, new_freq, _hch = reemission_mod.reemit_batch(
                         kr, self.spectra, pk.absorbed, pk.sig_h, pk.sig_he,
                         xH_f[flat], xHe_f[flat], T_f[flat], AHe)
                     ndx, ndy, ndz = sources.isotropic_directions(kd, pk.size)

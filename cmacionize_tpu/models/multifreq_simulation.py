@@ -78,10 +78,11 @@ def _cpu_device(retries: int = 3):
 
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6))
 def _solve_temperature_jit(T_prev, j, h, nd, abundances, pahfac, crfac):
-    # pahfac/crfac static: solve_temperature branches on them in Python
-    return temp_mod.solve_temperature(
+    # width-compacting staged solve (host-coordinated; its stage kernels
+    # are jitted and cached by shape): the unconverged-cell tail no longer
+    # pays full-grid width — see ops.temperature.solve_temperature_compacted
+    return temp_mod.solve_temperature_compacted(
         T_prev, j, h, nd, abundances, pahfac=pahfac, crfac=crfac)
 
 
@@ -192,6 +193,9 @@ class MultiFreqConfig:
     # temperature-independent recombination rates, keyed by ion name
     fixed_sigma: Optional[Tuple] = None  # ((name, value_m2), ...)
     fixed_alpha: Optional[Tuple] = None  # ((name, value_m3_s), ...)
+    # BiModal cross sections (BimodalCrossSections.hpp): per-ion (low, high)
+    # values switching at a frequency limit
+    bimodal_sigma: Optional[Tuple] = None  # (nu_limit, ((name, lo, hi), ...))
 
     @classmethod
     def from_params(cls, params) -> "MultiFreqConfig":
@@ -227,11 +231,29 @@ class MultiFreqConfig:
             "S_p1": "sulphur_1", "S_p2": "sulphur_2", "S_p3": "sulphur_3",
         }
         fixed_sigma = None
-        if params.get_string("CrossSections:type", "Verner") == "FixedValue":
+        bimodal_sigma = None
+        xsec_type = params.get_string("CrossSections:type", "Verner")
+        if xsec_type == "FixedValue":
             fixed_sigma = tuple(
                 (name, params.get_physical_value(
                     f"CrossSections:{pname}", "surface area", "0. m^2"))
                 for name, pname in _ION_PARAM_NAMES.items())
+        elif xsec_type == "Bimodal":
+            # BimodalCrossSections.hpp:175-230: *_low / *_high per ion with
+            # a global frequency limit
+            bimodal_sigma = (
+                params.get_physical_value(
+                    "CrossSections:frequency limit", "frequency", "15. eV"),
+                tuple(
+                    (name,
+                     params.get_physical_value(
+                         f"CrossSections:{pname}_low", "surface area",
+                         "0. m^2"),
+                     params.get_physical_value(
+                         f"CrossSections:{pname}_high", "surface area",
+                         "0. m^2"))
+                    for name, pname in _ION_PARAM_NAMES.items()),
+            )
         fixed_alpha = None
         _ALPHA_PARAM_NAMES = {
             "H_n": "hydrogen_1", "He_n": "helium_1",
@@ -296,6 +318,7 @@ class MultiFreqConfig:
             spectrum_table=spectrum_table,
             fixed_sigma=fixed_sigma,
             fixed_alpha=fixed_alpha,
+            bimodal_sigma=bimodal_sigma,
         )
 
 
@@ -345,6 +368,14 @@ class MultiFreqIonizationSimulation:
             fixed = dict(config.fixed_sigma)
             self.sigma_table = np.stack([
                 np.full(config.n_bins, fixed.get(name, 0.0))
+                for name in ions.ION_NAMES])
+        elif config.bimodal_sigma is not None:
+            nu_limit, rows = config.bimodal_sigma
+            table = {name: (lo, hi) for name, lo, hi in rows}
+            self.sigma_table = np.stack([
+                np.where(self.bin_centers < nu_limit,
+                         table.get(name, (0.0, 0.0))[0],
+                         table.get(name, (0.0, 0.0))[1])
                 for name in ions.ION_NAMES])
         else:
             self.sigma_table = xsec_mod.tabulate_cross_sections(
@@ -416,6 +447,10 @@ class MultiFreqIonizationSimulation:
         # optional TrackerManager (models.trackers): accumulates per-cell
         # spectra from the binned tallies each iteration
         self.tracker_manager = None
+        # optional typed CellTrackers (Absorption/Spectrum/WeightedSpectrum)
+        # — per-generation segment-crossing estimators, attached via
+        # attach_cell_trackers()
+        self._cell_trackers = None
 
         self.mesh = mesh
         _nb = -(-config.n_photons // self.PHOTON_BATCH)
@@ -452,6 +487,23 @@ class MultiFreqIonizationSimulation:
             )
 
     # ---------------------------------------------------------------- MC core
+
+    def attach_cell_trackers(self, trackers) -> None:
+        """Attach a models.trackers.CellTrackers instance.
+
+        Must be called before the first iteration (the batch program bakes
+        the tracker geometry in; attaching later invalidates the cached
+        jit).  Not supported with a device mesh or periodic boxes (the
+        segment estimator needs straight unwrapped paths).
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "cell trackers are single-device only (run without Parallel:)")
+        if any(self.geometry.periodic):
+            raise NotImplementedError(
+                "cell trackers require a non-periodic box")
+        self._cell_trackers = trackers
+        self._one_batch_jit = None  # rebake
 
     def _emit_bins(self, key, n):
         """Sample n frequency bins from the source spectrum CDF."""
@@ -494,6 +546,25 @@ class MultiFreqIonizationSimulation:
         n_batches = -(-cfg.n_photons // self.PHOTON_BATCH)
         n_per = cfg.n_photons // n_batches
 
+        trackers = self._cell_trackers
+
+        def track(sums, packets_before, packets_after, valid, slot):
+            if trackers is None:
+                return sums
+            origin = jnp.stack(
+                [packets_before.px, packets_before.py, packets_before.pz], 1)
+            direction = jnp.stack(
+                [packets_before.dx, packets_before.dy, packets_before.dz], 1)
+            final = jnp.stack(
+                [packets_after.px, packets_after.py, packets_after.pz], 1)
+            contrib = trackers.contributions(
+                origin, direction, final, packets_before.fbin,
+                packets_before.weight, valid, slot,
+            )
+            if sums is None:
+                return contrib
+            return tuple(a + b for a, b in zip(sums, contrib))
+
         def one_batch(tally2d, key, chi_h=chi_h, chi_he=chi_he,
                       xH32=xH32, xHe32=xHe32, T32=T32):
             key_bin, key_emit, key_loop = jax.random.split(key, 3)
@@ -507,10 +578,15 @@ class MultiFreqIonizationSimulation:
                 tau, weight,
                 sig_h_tab[fbin], sig_he_tab[fbin], fbin, shape,
             )
+            packets_emitted = packets
             tally2d, packets = traversal.trace_packets_spectral_auto(
                 chi_h, chi_he, packets, tally2d,
                 shape=shape, n_bins=cfg.n_bins,
                 periodic=self.geometry.periodic,
+            )
+            tracker_sums = track(
+                None, packets_emitted, packets,
+                jnp.ones((n_per,), bool), jnp.zeros((n_per,), jnp.int32),
             )
 
             overflow = jnp.zeros((), jnp.int32)
@@ -525,7 +601,7 @@ class MultiFreqIonizationSimulation:
                         packets.cx * shape[1] + packets.cy
                     ) * shape[2] + packets.cz
                     flat = jnp.clip(flat, 0, ncell - 1)
-                    remask, new_freq = reemission.reemit_batch(
+                    remask, new_freq, reemit_h_channel = reemission.reemit_batch(
                         key_re, self.spectra, packets.absorbed,
                         packets.sig_h, packets.sig_he,
                         xH32[flat], xHe32[flat], T32[flat], AHe,
@@ -547,7 +623,10 @@ class MultiFreqIonizationSimulation:
                         ntau, packets.weight, sig_h_tab[nbin],
                         sig_he_tab[nbin],
                     )
-                    ifields = (packets.cx, packets.cy, packets.cz, nbin)
+                    ifields = (
+                        packets.cx, packets.cy, packets.cz, nbin,
+                        reemit_h_channel.astype(jnp.int32),
+                    )
                     cf, cmask, ov = _compact(fields, remask, width)
                     cif, _, _ = _compact(ifields, remask, width)
                     overflow = overflow + ov
@@ -559,12 +638,21 @@ class MultiFreqIonizationSimulation:
                         cf[8], cf[9], cif[3],
                         cmask, jnp.zeros_like(cmask),
                     )
+                    packets_emitted = packets
+                    # PHOTONTYPE slot: 1 = diffuse H, 2 = diffuse He
+                    gen_slot = jnp.where(cif[4] > 0, 1, 2).astype(jnp.int32)
                     tally2d, packets = traversal.trace_packets_spectral_auto(
                         chi_h, chi_he, packets, tally2d,
                         shape=shape, n_bins=cfg.n_bins,
                         periodic=self.geometry.periodic,
                     )
-            return tally2d, overflow
+                    tracker_sums = track(
+                        tracker_sums, packets_emitted, packets, cmask,
+                        gen_slot,
+                    )
+            if trackers is None:
+                tracker_sums = 0
+            return tally2d, overflow, tracker_sums
 
         # dispatch batches as separate jits (see docstring) with the donated
         # tally threaded through; n_batches == 1 is just a single dispatch
@@ -574,9 +662,11 @@ class MultiFreqIonizationSimulation:
             self._one_batch_jit = jax.jit(one_batch, donate_argnums=(0,))
         keys = jax.random.split(key, n_batches)
         for i in range(n_batches):
-            tally2d, ov = self._one_batch_jit(
+            tally2d, ov, tsums = self._one_batch_jit(
                 tally2d, keys[i], chi_h, chi_he, xH32, xHe32, T32)
             overflow = overflow + ov
+            if self._cell_trackers is not None:
+                self._cell_trackers.accumulate(*tsums)
         self._reemission_overflow = int(overflow)
         if self._reemission_overflow:
             self.log.warning(
@@ -755,6 +845,8 @@ class MultiFreqIonizationSimulation:
                 integrals, tally2d = shoot(subkey, xH, xHe, T_dev)
             if self.tracker_manager is not None:
                 self.tracker_manager.accumulate(tally2d)
+            if self._cell_trackers is not None:
+                self._cell_trackers.end_iteration()
             do_temp = cfg.do_temperature and loop >= cfg.minimum_iteration_number
             with _phase("solve"):
                 self.temperature, self.xion, self.j_fields = self._solve_state(

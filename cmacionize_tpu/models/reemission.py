@@ -242,4 +242,8 @@ def reemit_batch(
             ),
         ),
     )
-    return reemit, new_freq
+    # channel flag for PHOTONTYPE bookkeeping (trackers/statistics):
+    # True = hydrogen Lyman-continuum re-emission (PHOTONTYPE_DIFFUSE_HI),
+    # False = one of the helium channels (PHOTONTYPE_DIFFUSE_HeI)
+    h_channel = h_reemits | lya_ots_emit
+    return reemit, new_freq, h_channel

@@ -828,6 +828,7 @@ class RHDSimulation:
         statistics=None,
         diagnostics=None,
         snapshot_callback=None,
+        live_output=None,
     ):
         """Run the configured workload to ``total_time``.
 
@@ -899,6 +900,11 @@ class RHDSimulation:
                 max(int(np.ceil((t_snap - self.time) / dt - 1e-9)), 1)
                 if snapshot_callback is not None else n_to_end
             )
+            if live_output is not None:
+                # clamp blocks to the live-output cadence as well
+                t_live = live_output.output_interval * live_output.next_output
+                n_to_snap = min(n_to_snap, max(
+                    int(np.ceil((t_live - self.time) / dt - 1e-9)), 1))
             if fused_ok:
                 n_block = min(self._chunk_len, n_to_snap, n_to_end)
                 self._run_fused_chunks(n_block, dt, log_every=10**9)
@@ -936,6 +942,11 @@ class RHDSimulation:
             ):
                 snapshot_callback(self, self._lastsnap)
                 self._lastsnap += 1
+            if live_output is not None:
+                # in-flight reduced outputs (LiveOutputManager cadence,
+                # cf. TaskBasedRadiationHydrodynamicsSimulation.cpp:2124-2148)
+                live_output.maybe_output(
+                    self.state, self.neutral_fraction, self.time, cfg.gamma)
             stopping = signals.stop_requested() or (
                 restart_manager is not None and restart_manager.want_stop())
             if restart_manager is not None and (

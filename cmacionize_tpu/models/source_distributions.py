@@ -470,11 +470,7 @@ class StaticSourceDistribution(SourceDistribution):
 
 def source_distribution_from_params(params) -> SourceDistribution:
     """Factory over ``PhotonSourceDistribution:type``, mirroring
-    /root/reference/src/PhotonSourceDistributionFactory.hpp:106-128.
-
-    GadgetSnapshot star-particle sources are handled by the snapshot loaders
-    (io.gadget) and are not routed through this factory.
-    """
+    /root/reference/src/PhotonSourceDistributionFactory.hpp:106-128."""
     p = "PhotonSourceDistribution"
     dtype = params.get_string(f"{p}:type", "SingleStar")
     seed = params.get_int(f"{p}:random seed", 42)
@@ -482,6 +478,15 @@ def source_distribution_from_params(params) -> SourceDistribution:
     def phys(key, quantity, default):
         return params.get_physical_value(f"{p}:{key}", quantity, default)
 
+    if dtype == "GadgetSnapshot":
+        return StaticSourceDistribution(load_gadget_star_sources(
+            params.get_string(f"{p}:filename"),
+            uv_luminosity_function_from_params(params),
+            formation_time_name=params.get_string(
+                f"{p}:formation time name", "FormationTime"),
+            cutoff_age=phys("cutoff age", "time", "5. Myr"),
+            use_gas=params.get_bool(f"{p}:use gas", False),
+        ))
     if dtype in ("None", ""):
         return StaticSourceDistribution(
             DiscreteSourceSet(np.zeros((0, 3)), np.zeros(0)))
@@ -639,6 +644,97 @@ class IMFBasedUVLuminosityFunction:
             0.0,
         )
         return out
+
+
+def load_gadget_star_sources(
+    filename: str,
+    luminosity_function,
+    *,
+    formation_time_name: str = "FormationTime",
+    cutoff_age: float = 1.5768e14,  # 5 Myr
+    use_gas: bool = False,
+) -> DiscreteSourceSet:
+    """Star-particle sources from a Gadget HDF5 snapshot
+    (GadgetSnapshotPhotonSourceDistribution.cpp:64-220):
+
+    - star particles (``/PartType4``): position + UV luminosity
+      L(age, mass) from the given UV luminosity function, with
+      age = snapshot time − formation time; populations older than
+      ``cutoff_age`` emit nothing (the luminosity function enforces it);
+    - ``use_gas``: gas particles (``/PartType0``) whose
+      ``StarFormationRate`` > 0 host embedded populations of mass
+      SFR · cutoff_age at age 0 (:141-170).
+
+    Units are taken from the snapshot's /Units group when present
+    (io.gadget reader conventions), else SI is assumed.
+    """
+    import h5py
+
+    positions, luminosities = [], []
+    with h5py.File(filename, "r") as fh:
+        unit_l = unit_m = unit_t = 1.0
+        if "Units" in fh:
+            u = fh["Units"].attrs
+            unit_l = float(u.get("Unit length in cgs (U_L)", 100.0)) / 100.0
+            unit_m = float(u.get("Unit mass in cgs (U_M)", 1000.0)) / 1000.0
+            unit_t = float(u.get("Unit time in cgs (U_t)", 1.0))
+        time = 0.0
+        if "Header" in fh:
+            time = float(fh["Header"].attrs.get("Time", 0.0)) * unit_t
+        if use_gas and "PartType0" in fh:
+            gas = fh["PartType0"]
+            coords = np.asarray(gas["Coordinates"], dtype=float) * unit_l
+            sfr = np.asarray(gas["StarFormationRate"], dtype=float) * (
+                unit_m / max(unit_t, 1e-300))
+            sel = sfr > 0.0
+            mass = sfr[sel] * cutoff_age
+            lum = np.asarray(luminosity_function(
+                np.zeros(mass.shape), mass), dtype=float)
+            positions.append(coords[sel])
+            luminosities.append(lum)
+        if not use_gas and "PartType4" in fh:
+            stars = fh["PartType4"]
+            coords = np.asarray(stars["Coordinates"], dtype=float) * unit_l
+            masses = np.asarray(stars["Masses"], dtype=float) * unit_m
+            if formation_time_name in stars:
+                tform = np.asarray(
+                    stars[formation_time_name], dtype=float) * unit_t
+            else:
+                tform = np.zeros(masses.shape)
+            age = np.maximum(time - tform, 0.0)
+            lum = np.asarray(luminosity_function(age, masses), dtype=float)
+            positions.append(coords)
+            luminosities.append(lum)
+    if not positions:
+        return DiscreteSourceSet(np.zeros((0, 3)), np.zeros(0))
+    pos = np.concatenate(positions)
+    lum = np.concatenate(luminosities)
+    keep = lum > 0.0
+    return DiscreteSourceSet(pos[keep], lum[keep])
+
+
+def uv_luminosity_function_from_params(params):
+    """Factory over ``UVLuminosityFunction:type``
+    (/root/reference/src/UVLuminosityFunctionFactory.hpp:71-78)."""
+    p = "UVLuminosityFunction"
+    ftype = params.get_string(f"{p}:type", "RateBased")
+    if ftype == "RateBased":
+        return RateBasedUVLuminosityFunction(
+            uv_rate_per_mass_unit=params.get_number(
+                f"{p}:UV rate", 1e46) / 1.98855e30,
+            cutoff_age=params.get_physical_value(
+                f"{p}:cutoff age", "time", "5. Myr"),
+        )
+    if ftype == "IMFBased":
+        return IMFBasedUVLuminosityFunction(
+            slope=params.get_number(f"{p}:slope", 2.3),
+            lower_mass_limit_msol=params.get_number(
+                f"{p}:lower mass limit", 20.0),
+            upper_mass_limit_msol=params.get_number(
+                f"{p}:upper mass limit", 100.0),
+            boost_factor=params.get_number(f"{p}:boost factor", 1.0),
+        )
+    raise ValueError(f"unknown UVLuminosityFunction type {ftype!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -706,7 +706,7 @@ class MultiFreqVoronoiSimulation:
                 for gen in range(self.n_reemission_rounds):
                     kl, kr, kdd, ktt = jax.random.split(kl, 4)
                     cells = jnp.clip(pk.cell, 0, C - 1)
-                    remask, new_freq = reemission_mod.reemit_batch(
+                    remask, new_freq, _hch = reemission_mod.reemit_batch(
                         kr, self.spectra, pk.absorbed, pk.sig_h, pk.sig_he,
                         xH[cells], xHe[cells], T32[cells], AHe)
                     rdx, rdy, rdz = sources.isotropic_directions(

@@ -409,7 +409,7 @@ def make_domain_spectral_trace(
                 ) * nz + pk.cz
                 from cmacionize_tpu.models import reemission as reemission_mod
 
-                remask, new_freq = reemission_mod.reemit_batch(
+                remask, new_freq, _hch = reemission_mod.reemit_batch(
                     k_re, _re_spectra, pk.absorbed, pk.sig_h, pk.sig_he,
                     xH_flat[flat_re], xHe_flat[flat_re], T_flat[flat_re],
                     _re_AHe,
