@@ -221,8 +221,14 @@ class AMRGrid:
     levels: np.ndarray  # [C] int8 leaf level
     centers: np.ndarray  # [C, 3] SI leaf centers
     volumes: np.ndarray  # [C] SI leaf volumes
-    owner: np.ndarray  # finest-lattice int32 → leaf id
-    leaf_masks: tuple  # per-level bool lattices (construction record)
+    #: finest-lattice int32 → leaf id; None for DEEP grids (the dense
+    #: lattice would be 8^max_level cells — the octree path below replaces
+    #: it, lifting the reference-parity depth bound of PARITY delta #4)
+    owner: Optional[np.ndarray]
+    leaf_masks: Optional[tuple]  # per-level bool lattices (dense grids only)
+    #: per-level [n, 3] leaf / refined cell coordinates (sparse record)
+    leaf_coords: Optional[tuple] = None
+    refined_coords: Optional[tuple] = None
 
     @property
     def fine_shape(self) -> Tuple[int, int, int]:
@@ -237,8 +243,78 @@ class AMRGrid:
     # -------------------------------------------------------------- expand
     def expand(self, values: jnp.ndarray) -> jnp.ndarray:
         """[C] leaf values → finest-lattice dense grid (one gather)."""
+        if self.owner is None:
+            raise NotImplementedError(
+                "deep AMR grid has no dense finest lattice; use the octree "
+                "traversal path")
         owner = jnp.asarray(self.owner)
         return jnp.take(jnp.asarray(values), owner, axis=0)
+
+    # -------------------------------------------------------------- octree
+    def octree(self):
+        """(root [nx·ny·nz] int32, children [n_internal, 8] int32) —
+        flattened pointer octree for the depth-independent traversal.
+
+        Encoding: value >= 0 → internal node id (row of ``children``);
+        value < 0 → leaf with id ``-(value + 1)``.  Child octant index is
+        ``ox·4 + oy·2 + oz``.  The TPU equivalent of the reference's
+        AMRGridCell pointer tree (/root/reference/src/AMRGridCell.hpp),
+        built once per hierarchy and cached.
+        """
+        if getattr(self, "_octree_cache", None) is not None:
+            return self._octree_cache
+        if self.leaf_coords is None:
+            raise ValueError("grid was built without sparse coords")
+        nx, ny, nz = self.geometry.shape
+
+        def keys(coords, level):
+            sy = ny << level
+            sz = nz << level
+            return (
+                coords[:, 0].astype(np.int64) * sy + coords[:, 1]
+            ) * sz + coords[:, 2]
+
+        # leaf ids are level-major in construction order (sorted per level)
+        leaf_offset = np.cumsum(
+            [0] + [len(c) for c in self.leaf_coords])[:-1]
+        node_offset = np.cumsum(
+            [0] + [len(c) for c in self.refined_coords])[:-1]
+        n_internal = int(sum(len(c) for c in self.refined_coords))
+        children = np.zeros((max(n_internal, 1), 8), np.int32)
+        offs = np.indices((2, 2, 2)).reshape(3, -1).T  # octant = ox*4+oy*2+oz
+
+        def encode(level, coords):
+            """Cell coords at ``level`` → node/leaf encoding (every existing
+            cell is either a leaf or refined at its level, by construction;
+            the per-level coord lists are lexicographically sorted)."""
+            out = np.empty(len(coords), np.int32)
+            k = keys(coords, level)
+            leaf_k = keys(self.leaf_coords[level], level)
+            if len(leaf_k):
+                pos = np.clip(np.searchsorted(leaf_k, k), 0, len(leaf_k) - 1)
+                is_leaf = leaf_k[pos] == k
+                out[is_leaf] = -(leaf_offset[level] + pos[is_leaf] + 1)
+            else:
+                is_leaf = np.zeros(len(coords), bool)
+            ref_k = keys(self.refined_coords[level], level)
+            rpos = np.searchsorted(ref_k, k[~is_leaf])
+            out[~is_leaf] = node_offset[level] + rpos
+            return out
+
+        for level, refined in enumerate(self.refined_coords):
+            if len(refined) == 0:
+                continue
+            child_coords = (
+                refined[:, None, :] * 2 + offs[None, :, :]
+            ).reshape(-1, 3)
+            enc = encode(level + 1, child_coords).reshape(-1, 8)
+            children[node_offset[level]:node_offset[level] + len(refined)] = (
+                enc
+            )
+        root_coords = np.indices((nx, ny, nz)).reshape(3, -1).T
+        root = encode(0, root_coords)
+        object.__setattr__(self, "_octree_cache", (root, children))
+        return root, children
 
     def reduce(self, fine: jnp.ndarray) -> jnp.ndarray:
         """Finest-lattice grid → per-leaf sums (one segment_sum)."""
@@ -273,6 +349,11 @@ def _upsample2(mask: np.ndarray) -> np.ndarray:
     return np.repeat(np.repeat(np.repeat(mask, 2, 0), 2, 1), 2, 2)
 
 
+#: largest finest-lattice size for which the dense owner map / expand path
+#: is built (67M cells ≈ 0.25 GB int32); deeper grids go octree-only
+_MAX_DENSE_FINE_CELLS = 1 << 26
+
+
 def build_amr_grid(
     geometry: GridGeometry,
     scheme,
@@ -295,53 +376,83 @@ def build_amr_grid(
     """
     max_level = min(max_level, getattr(scheme, "max_level", max_level))
     nx, ny, nz = geometry.shape
-    leaf_masks = []
-    # exists[l]: bool lattice of cells *present* at level l
-    exists = np.ones((nx, ny, nz), bool)
+
+    def lexsorted(coords):
+        if len(coords) == 0:
+            return coords.reshape(0, 3)
+        order = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+        return coords[order]
+
+    # SPARSE level-synchronous construction: only cells that exist at a
+    # level are materialized ([n, 3] coord lists), so depth costs
+    # O(leaves), not O(8^max_level) — the round-3 depth bound (PARITY
+    # delta #4) came from the dense per-level lattices built here
+    leaf_coords, refined_coords = [], []
+    exists_idx = np.indices((nx, ny, nz)).reshape(3, -1).T
+    child_offs = np.indices((2, 2, 2)).reshape(3, -1).T
     for level in range(max_level + 1):
-        shape_l = tuple(s * 2 ** level for s in geometry.shape)
-        centers = _level_cell_centers(geometry, level)
-        volume = float(np.prod(geometry.cell_size / 2 ** level))
+        exists_idx = lexsorted(exists_idx)
+        cs = geometry.cell_size / 2 ** level
+        centers = np.asarray(geometry.anchor) + (exists_idx + 0.5) * cs
+        volume = float(np.prod(cs))
         nd = np.asarray(density_fn(centers), np.float64)
         fracs = fractions_fn(centers) if fractions_fn is not None else {}
         if scheme is not None and level < max_level:
             flag = np.asarray(
                 scheme.refine(level, centers, volume, nd, fracs), bool
-            ).reshape(shape_l)
+            ).reshape(-1)
         else:
-            flag = np.zeros(shape_l, bool)
-        refined = exists & flag
-        leaf_masks.append(exists & ~refined)
+            flag = np.zeros(len(exists_idx), bool)
+        leaf_coords.append(exists_idx[~flag])
+        refined = exists_idx[flag]
+        refined_coords.append(refined)
         if level < max_level:
-            exists = _upsample2(refined)
+            exists_idx = (
+                refined[:, None, :] * 2 + child_offs[None, :, :]
+            ).reshape(-1, 3)
 
     # compact leaves: level-major ordering, C-order within a level
-    rf = 2 ** max_level
-    fine_shape = (nx * rf, ny * rf, nz * rf)
-    owner = np.full(fine_shape, -1, np.int32)
     levels_list, centers_list, volumes_list = [], [], []
     next_id = 0
-    for level, mask in enumerate(leaf_masks):
-        idx = np.argwhere(mask)
-        if len(idx) == 0:
-            continue
+    per_level_ids = []
+    for level, idx in enumerate(leaf_coords):
         n = len(idx)
-        ids = np.arange(next_id, next_id + n, dtype=np.int32)
+        per_level_ids.append(
+            np.arange(next_id, next_id + n, dtype=np.int32))
         next_id += n
+        if n == 0:
+            continue
         cs = geometry.cell_size / 2 ** level
-        centers_list.append(
-            np.asarray(geometry.anchor) + (idx + 0.5) * cs
-        )
+        centers_list.append(np.asarray(geometry.anchor) + (idx + 0.5) * cs)
         volumes_list.append(np.full(n, float(np.prod(cs))))
         levels_list.append(np.full(n, level, np.int8))
-        # paint the owner map: each leaf covers a (r,r,r) fine block
-        r = rf // 2 ** level
-        fx, fy, fz = idx[:, 0] * r, idx[:, 1] * r, idx[:, 2] * r
-        for ox in range(r):
-            for oy in range(r):
-                for oz in range(r):
-                    owner[fx + ox, fy + oy, fz + oz] = ids
-    assert (owner >= 0).all(), "owner map has unassigned fine cells"
+
+    # dense finest-lattice owner map: only while affordable (the transport
+    # fast path); deeper hierarchies use the octree traversal instead
+    rf = 2 ** max_level
+    fine_shape = (nx * rf, ny * rf, nz * rf)
+    owner = None
+    leaf_masks = None
+    if int(np.prod(fine_shape)) <= _MAX_DENSE_FINE_CELLS:
+        owner = np.full(fine_shape, -1, np.int32)
+        leaf_masks = []
+        for level, idx in enumerate(leaf_coords):
+            shape_l = tuple(s * 2 ** level for s in geometry.shape)
+            mask = np.zeros(shape_l, bool)
+            if len(idx):
+                mask[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+            leaf_masks.append(mask)
+            if len(idx) == 0:
+                continue
+            # vectorized painting: each leaf covers an (r, r, r) fine block
+            r = rf // 2 ** level
+            off = np.indices((r, r, r)).reshape(3, -1).T  # [r^3, 3]
+            fx = (idx[:, None, 0] * r + off[None, :, 0]).ravel()
+            fy = (idx[:, None, 1] * r + off[None, :, 1]).ravel()
+            fz = (idx[:, None, 2] * r + off[None, :, 2]).ravel()
+            owner[fx, fy, fz] = np.repeat(per_level_ids[level], r ** 3)
+        assert (owner >= 0).all(), "owner map has unassigned fine cells"
+        leaf_masks = tuple(leaf_masks)
     return AMRGrid(
         geometry=geometry,
         max_level=max_level,
@@ -350,7 +461,9 @@ def build_amr_grid(
         centers=np.concatenate(centers_list, axis=0),
         volumes=np.concatenate(volumes_list),
         owner=owner,
-        leaf_masks=tuple(leaf_masks),
+        leaf_masks=leaf_masks,
+        leaf_coords=tuple(leaf_coords),
+        refined_coords=tuple(refined_coords),
     )
 
 
@@ -401,6 +514,28 @@ def trace_amr(
     leaf directly, since chi is constant within a leaf.
     """
     from cmacionize_tpu.ops import traversal
+
+    if grid.owner is None:
+        # deep hierarchy: no dense finest lattice exists — march the
+        # flattened octree directly (O(leaves) memory at any depth)
+        from cmacionize_tpu.ops import amr_traversal
+
+        root, children = grid.octree()
+        dx_coarse = float(grid.geometry.cell_size[0])
+        scale = 2.0 ** (-grid.max_level)  # finest units → coarse units
+        pk = packets._replace(
+            px=packets.px * scale,
+            py=packets.py * scale,
+            pz=packets.pz * scale,
+        )
+        chi_coarse = jnp.asarray(chi_si) * dx_coarse
+        tally = jnp.zeros((grid.n_cells,), chi_coarse.dtype)
+        tally, pk_out = amr_traversal.trace_packets_octree(
+            jnp.asarray(root), jnp.asarray(children), chi_coarse, pk, tally,
+            coarse_shape=tuple(grid.geometry.shape),
+            max_level=grid.max_level, max_steps=max_steps,
+        )
+        return tally * dx_coarse, jnp.sum(~pk_out.absorbed)
 
     fine_shape = grid.fine_shape
     dx_fine = float(grid.fine_cell_size[0])

@@ -8,7 +8,7 @@ Voronoi family: *re-tessellation on the host* (scipy Qhull, like the
 reference's grid construction), *flux computation on device* over the padded
 cell-graph arrays.
 
-Scheme (first-order Godunov, moving faces):
+Scheme (MUSCL Godunov, moving faces):
 
 * state is INTENSIVE per cell (densities of mass/momentum/energy): SI cell
   volumes of astrophysical problems (~1e47 m³) overflow f32, so extensive
@@ -25,10 +25,19 @@ Scheme (first-order Godunov, moving faces):
 * `evolve` drifts the generators with the grid velocity and re-tessellates;
   primitives are re-derived from the unchanged totals and the new volumes.
 
-Documented deltas vs the reference: first-order (no gradient
-reconstruction) on the unstructured mesh, and per-row flux evaluation (each
-face computed from both sides; HLLC's L/R symmetry makes the two values
-equal to f32 round-off rather than bit-exactly shared).
+Second order (VERDICT r3 ask #10): least-squares cell gradients over the
+neighbor graph + Barth-Jespersen limiting + per-face pair clamping +
+half-dt primitive prediction (the reference's GradientCalculator /
+Hydro::limit / predict_primitive_variables machinery re-derived for the
+flattened cell-graph arrays), with a face-symmetric first-order fallback
+on cells a trial update would drain.  Default ON for pure hydro (sod-class
+problems measure sharper fronts, unit-tested); default OFF in
+VoronoiRHDSimulation — see its docstring for the measured positivity
+limitation on near-vacuum D-type interiors.
+
+Documented deltas vs the reference: per-row flux evaluation (each face
+computed from both sides; HLLC's L/R symmetry makes the two values equal
+to f32 round-off rather than bit-exactly shared).
 """
 
 from __future__ import annotations
@@ -98,14 +107,48 @@ def remap_after_evolve(state: VoronoiHydroState, old_volumes, new_volumes):
     return VoronoiHydroState(*(f * ratio for f in state))
 
 
-@functools.partial(jax.jit, static_argnames=("gamma",))
+def _lsq_gradients(W, rel_pos, is_cell, dW):
+    """Weighted least-squares cell gradients over the neighbor graph.
+
+    The unstructured-mesh counterpart of the reference's gradient sweeps +
+    cell slope limiter (GradientCalculator.hpp,
+    HydroDensitySubGrid.hpp:568-626): G = Σ w dd^T, b = Σ w d ΔW,
+    ∇W = G⁻¹ b with w = 1/|d|².  ``rel_pos`` [C,K,3] neighbor − cell
+    generator offsets (meters, masked by is_cell); ``dW`` [C,K] value
+    jumps.  Returns [C,3].
+    """
+    w = jnp.where(
+        is_cell,
+        1.0 / jnp.maximum(jnp.sum(rel_pos * rel_pos, -1), 1e-30),
+        0.0,
+    )
+    G = jnp.einsum("ck,cka,ckb->cab", w, rel_pos, rel_pos)
+    # Tikhonov floor keeps degenerate stencils (boundary cells with < 3
+    # independent directions) finite; their gradients limit toward zero
+    tr = jnp.trace(G, axis1=1, axis2=2)[:, None, None]
+    G = G + 1e-8 * jnp.maximum(tr, 1e-30) * jnp.eye(3)[None]
+    b = jnp.einsum("ck,cka->ca", w * jnp.where(is_cell, dW, 0.0), rel_pos)
+    return jnp.linalg.solve(G, b[..., None])[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("gamma", "second_order"))
 def _voronoi_flux_update(
-    neighbors, normals, area_over_vol, state, gen_vel, dt, gamma,
+    neighbors, normals, area_over_vol, face_rel, state, gen_vel, dt, gamma,
+    second_order: bool = True,
 ):
-    """One first-order moving-face Godunov update of the intensive state.
+    """One moving-face Godunov update of the intensive state.
 
     ``area_over_vol``: [C, K] f32 — A_face / V_cell (1/m), precomputed in
     f64 on the host (SI areas/volumes individually overflow f32).
+    ``face_rel``: [C, K, 3] f32 — face point − cell generator (meters),
+    the reconstruction arm of the second-order scheme.
+
+    ``second_order``: MUSCL reconstruction on the cell graph —
+    least-squares gradients + Barth-Jespersen cell limiter + per-face
+    pair clamping + half-dt primitive prediction, the unstructured
+    counterpart of the reference's full second-order machinery
+    (GradientCalculator.hpp, Hydro.hpp:108 ``limit``,
+    ``predict_primitive_variables``); False mirrors NO_SECOND_ORDER.
     """
     rho, vx, vy, vz, p = primitives_from_conserved(state, None, gamma)
 
@@ -137,21 +180,100 @@ def _voronoi_flux_update(
             jnp.einsum("ckd,ckd->ck", v, t2),
         )
 
-    # left (own) state on every face
-    rhoL = rho[:, None] * jnp.ones_like(area_over_vol)
-    pL = p[:, None] * jnp.ones_like(area_over_vol)
-    vL = (vx[:, None] * jnp.ones_like(area_over_vol),
-          vy[:, None] * jnp.ones_like(area_over_vol),
-          vz[:, None] * jnp.ones_like(area_over_vol))
-    uL, ut1L, ut2L = project(*vL)
+    ones = jnp.ones_like(area_over_vol)
+    if second_order:
+        # perpendicular-bisector faces: the neighbor generator offset is
+        # exactly twice the face-point arm
+        rel = 2.0 * face_rel
+        tinyW = 1e-12
 
+        def limited_gradient(W):
+            dW = gather(W) - W[:, None]
+            g = _lsq_gradients(W, rel, is_cell, dW)
+            ext = jnp.einsum("cka,ca->ck", face_rel, g)
+            nbrW = jnp.where(is_cell, gather(W), W[:, None])
+            Wmax = jnp.maximum(jnp.max(nbrW, 1), W)
+            Wmin = jnp.minimum(jnp.min(nbrW, 1), W)
+            hi = (Wmax - W)[:, None]
+            lo = (Wmin - W)[:, None]
+            a = jnp.where(
+                ext > tinyW, hi / jnp.maximum(ext, tinyW),
+                jnp.where(ext < -tinyW, lo / jnp.minimum(ext, -tinyW), 1.0),
+            )
+            a = jnp.where(is_cell | is_wall, a, 1.0)
+            alpha = jnp.clip(jnp.min(a, axis=1), 0.0, 1.0)
+            return g * alpha[:, None]
+
+        gr_rho = limited_gradient(rho)
+        gr_vx = limited_gradient(vx)
+        gr_vy = limited_gradient(vy)
+        gr_vz = limited_gradient(vz)
+        gr_p = limited_gradient(p)
+
+        # half-dt primitive prediction (predict_primitive_variables)
+        half = 0.5 * dt
+        div_v = gr_vx[:, 0] + gr_vy[:, 1] + gr_vz[:, 2]
+        inv_rho_c = 1.0 / jnp.maximum(rho, 1e-300)
+
+        def vdot(g):
+            return vx * g[:, 0] + vy * g[:, 1] + vz * g[:, 2]
+
+        rho_p = rho - half * (vdot(gr_rho) + rho * div_v)
+        vx_p = vx - half * (vdot(gr_vx) + gr_p[:, 0] * inv_rho_c)
+        vy_p = vy - half * (vdot(gr_vy) + gr_p[:, 1] * inv_rho_c)
+        vz_p = vz - half * (vdot(gr_vz) + gr_p[:, 2] * inv_rho_c)
+        p_p = p - half * (vdot(gr_p) + gamma * p * div_v)
+        # positivity: fall back to the unpredicted value (SAFE_HYDRO)
+        rho_p = jnp.where(rho_p > 0.0, rho_p, rho)
+        p_p = jnp.where(p_p > 0.0, p_p, p)
+
+        def face_L(Wp, g):
+            return Wp[:, None] + jnp.einsum("cka,ca->ck", face_rel, g)
+
+        def face_R(Wp, g):
+            # the neighbor's arm to the shared face point is −face_rel
+            return gather(Wp) - jnp.einsum(
+                "cka,cka->ck", face_rel, gather(g))
+
+        def pair_clamp(L, R, Wi, Wj):
+            # per-face pair limiting (Hydro.hpp:108 ``limit``): face values
+            # stay within the envelope of the two cell values
+            lo = jnp.minimum(Wi[:, None], Wj)
+            hi = jnp.maximum(Wi[:, None], Wj)
+            return jnp.clip(L, lo, hi), jnp.clip(R, lo, hi)
+
+        rhoL, rhoR_c = pair_clamp(
+            face_L(rho_p, gr_rho), face_R(rho_p, gr_rho), rho, gather(rho))
+        pL, pR_c = pair_clamp(
+            face_L(p_p, gr_p), face_R(p_p, gr_p), p, gather(p))
+        vxL, vxR = pair_clamp(
+            face_L(vx_p, gr_vx), face_R(vx_p, gr_vx), vx, gather(vx))
+        vyL, vyR = pair_clamp(
+            face_L(vy_p, gr_vy), face_R(vy_p, gr_vy), vy, gather(vy))
+        vzL, vzR = pair_clamp(
+            face_L(vz_p, gr_vz), face_R(vz_p, gr_vz), vz, gather(vz))
+        rhoL2 = jnp.maximum(rhoL, 1e-30)
+        pL2 = jnp.maximum(pL, 1e-30)
+        uL2, ut1L2, ut2L2 = project(vxL, vyL, vzL)
+        rhoR2 = jnp.where(is_cell, jnp.maximum(rhoR_c, 1e-30), rhoL2)
+        pR2 = jnp.where(is_cell, jnp.maximum(pR_c, 1e-30), pL2)
+        uRn, ut1R2, ut2R2 = project(vxR, vyR, vzR)
+        uR2 = jnp.where(is_cell, uRn, -uL2)
+        ut1R2 = jnp.where(is_cell, ut1R2, ut1L2)
+        ut2R2 = jnp.where(is_cell, ut2R2, ut2L2)
+
+    # first-order left/right states (also the per-cell fallback below)
+    rhoL1 = rho[:, None] * ones
+    pL1 = p[:, None] * ones
+    uL1, ut1L1, ut2L1 = project(
+        vx[:, None] * ones, vy[:, None] * ones, vz[:, None] * ones)
     # right (neighbor) state; wall → mirror (flip normal velocity)
-    rhoR = jnp.where(is_cell, gather(rho), rhoL)
-    pR = jnp.where(is_cell, gather(p), pL)
-    uRn, ut1R, ut2R = project(gather(vx), gather(vy), gather(vz))
-    uR = jnp.where(is_cell, uRn, -uL)
-    ut1R = jnp.where(is_cell, ut1R, ut1L)
-    ut2R = jnp.where(is_cell, ut2R, ut2L)
+    rhoR1 = jnp.where(is_cell, gather(rho), rhoL1)
+    pR1 = jnp.where(is_cell, gather(p), pL1)
+    uRn1, ut1R1, ut2R1 = project(gather(vx), gather(vy), gather(vz))
+    uR1 = jnp.where(is_cell, uRn1, -uL1)
+    ut1R1 = jnp.where(is_cell, ut1R1, ut1L1)
+    ut2R1 = jnp.where(is_cell, ut2R1, ut2L1)
 
     # face speed along the normal (moving mesh); walls don't move
     gvn, _, _ = project(
@@ -164,27 +286,61 @@ def _voronoi_flux_update(
     )
     w_n = jnp.where(is_cell, 0.5 * (gvn + gvn_nbr), 0.0)
 
-    flux = riemann.hllc_flux(
-        rhoL, uL - w_n, ut1L, ut2L, pL,
-        rhoR, uR - w_n, ut1R, ut2R, pR,
-        gamma=gamma,
-    )
-    f_rho, f_un, f_ut1, f_ut2, f_e = (
-        flux.mass, flux.mom_n, flux.mom_t1, flux.mom_t2, flux.energy)
-    # de-boost to the lab frame
-    f_e = f_e + w_n * (f_un + 0.5 * w_n * f_rho)
-    f_un = f_un + w_n * f_rho
+    def deltas(rhoL, uL, ut1L, ut2L, pL, rhoR, uR, ut1R, ut2R, pR):
+        flux = riemann.hllc_flux(
+            rhoL, uL - w_n, ut1L, ut2L, pL,
+            rhoR, uR - w_n, ut1R, ut2R, pR,
+            gamma=gamma,
+        )
+        f_rho, f_un, f_ut1, f_ut2, f_e = (
+            flux.mass, flux.mom_n, flux.mom_t1, flux.mom_t2, flux.energy)
+        # de-boost to the lab frame
+        f_e = f_e + w_n * (f_un + 0.5 * w_n * f_rho)
+        f_un = f_un + w_n * f_rho
+        # rotate momentum flux back to xyz
+        fm = (
+            f_un[..., None] * n + f_ut1[..., None] * t1
+            + f_ut2[..., None] * t2
+        )
+        active = (is_cell | is_wall).astype(f_rho.dtype)
+        wA = area_over_vol * active * dt
+        return (
+            -jnp.sum(f_rho * wA, axis=1),
+            -jnp.sum(fm * wA[..., None], axis=1),
+            -jnp.sum(f_e * wA, axis=1),
+        )
 
-    # rotate momentum flux back to xyz
-    fm = (
-        f_un[..., None] * n + f_ut1[..., None] * t1 + f_ut2[..., None] * t2
-    )
+    if second_order:
+        # trial second-order update → flag cells it would strongly drain
+        # (the rarefying D-type interior approaches vacuum, where the
+        # sharper reconstruction loses positivity); then recompute with
+        # FIRST-order states on every face touching a flagged cell.  The
+        # flag is symmetric across each face (flag_i | flag_j), so both
+        # sides see the same face states and conservation is untouched —
+        # the unstructured analog of SAFE_HYDRO's troubled-cell handling.
+        d2 = deltas(rhoL2, uL2, ut1L2, ut2L2, pL2,
+                    rhoR2, uR2, ut1R2, ut2R2, pR2)
+        rho2 = state.rho + d2[0]
+        e2 = state.energy + d2[2]
+        flag = (
+            (rho2 < 0.25 * state.rho) | (e2 < 0.25 * state.energy)
+            | ~jnp.isfinite(rho2) | ~jnp.isfinite(e2)
+        )
+        bad_face = flag[:, None] | jnp.where(is_cell, flag[safe_nbr], False)
 
-    active = (is_cell | is_wall).astype(f_rho.dtype)
-    wA = area_over_vol * active * dt
-    d_rho = -jnp.sum(f_rho * wA, axis=1)
-    d_mom = -jnp.sum(fm * wA[..., None], axis=1)
-    d_energy = -jnp.sum(f_e * wA, axis=1)
+        def pick(a1, a2):
+            return jnp.where(bad_face, a1, a2)
+
+        d_rho, d_mom, d_energy = deltas(
+            pick(rhoL1, rhoL2), pick(uL1, uL2), pick(ut1L1, ut1L2),
+            pick(ut2L1, ut2L2), pick(pL1, pL2),
+            pick(rhoR1, rhoR2), pick(uR1, uR2), pick(ut1R1, ut1R2),
+            pick(ut2R1, ut2R2), pick(pR1, pR2),
+        )
+    else:
+        d_rho, d_mom, d_energy = deltas(
+            rhoL1, uL1, ut1L1, ut2L1, pL1,
+            rhoR1, uR1, ut1R1, ut2R1, pR1)
     return VoronoiHydroState(
         rho=state.rho + d_rho,
         mom_x=state.mom_x + d_mom[:, 0],
@@ -194,12 +350,36 @@ def _voronoi_flux_update(
     )
 
 
+def face_arms(grid: VoronoiGrid) -> np.ndarray:
+    """[C, K, 3] f32 face point − cell generator (meters).
+
+    Cell faces sit on the perpendicular bisector: arm = (g_j − g_i)/2
+    (+ periodic shift); wall faces: the generator's projection onto the
+    wall plane, arm = (offset − n·g)·n.
+    """
+    g = np.asarray(grid.generators, np.float64)
+    nbr = grid.neighbors
+    safe = np.maximum(nbr, 0)
+    rel = g[safe] - g[:, None, :]
+    if grid.shifts is not None:
+        # crossing shifts map into the true neighbor frame (pos += shift),
+        # so the APPARENT neighbor position is g_true − shift
+        rel = rel - np.asarray(grid.shifts, np.float64)
+    n = np.asarray(grid.normals, np.float64)
+    dist = np.asarray(grid.offsets, np.float64) - np.einsum(
+        "cka,ca->ck", n, g)
+    wall_arm = dist[..., None] * n
+    arm = np.where((nbr >= 0)[..., None], 0.5 * rel, wall_arm)
+    return (arm * grid.scale).astype(np.float32)
+
+
 def voronoi_hydro_step(
     grid: VoronoiGrid,
     state: VoronoiHydroState,
     gen_velocities_si,  # [C, 3] m/s — the grid velocity (set_grid_velocity)
     dt: float,
     gamma: float = 5.0 / 3.0,
+    second_order: bool = True,
 ) -> VoronoiHydroState:
     """Advance the intensive state one step on the (possibly moving) mesh."""
     area_over_vol = jnp.asarray(
@@ -210,10 +390,12 @@ def voronoi_hydro_step(
         jnp.asarray(grid.neighbors),
         jnp.asarray(grid.normals),
         area_over_vol,
+        jnp.asarray(face_arms(grid)),
         state,
         jnp.asarray(gen_velocities_si, jnp.float32),
         jnp.float32(dt),
         gamma,
+        second_order,
     )
 
 
@@ -281,7 +463,8 @@ class VoronoiRHDSimulation:
                  source_position, cross_section, recombination_rate,
                  n_photons, nloop, number_density, temperature,
                  neutral_temperature=100.0, ionised_temperature=1.0e4,
-                 shock_temperature=3.0e4, mesh_motion=False, seed=42):
+                 shock_temperature=3.0e4, mesh_motion=False,
+                 second_order=False, seed=42):
         from cmacionize_tpu import constants
 
         self.grid = grid
@@ -297,6 +480,14 @@ class VoronoiRHDSimulation:
         self.ionised_temperature = ionised_temperature
         self.shock_temperature = shock_temperature
         self.mesh_motion = bool(mesh_motion)
+        #: MUSCL reconstruction on the cell graph.  Default OFF for the
+        #: RHD driver: the rarefying D-type interior reaches density
+        #: contrasts where the second-order scheme loses positivity even
+        #: with the face-symmetric first-order fallback (probed at several
+        #: dt on the starbench_voronoi configuration — the f32 intensive
+        #: state at ~1e-19 kg/m^3 leaves no headroom); pure-hydro problems
+        #: (sod class) run second-order by default and are tested sharper.
+        self.second_order = bool(second_order)
         self.key = jax.random.PRNGKey(seed)
 
         C = grid.n_cells
@@ -380,7 +571,8 @@ class VoronoiRHDSimulation:
             else:
                 vel = np.zeros((self.grid.n_cells, 3), np.float32)
             self.state = voronoi_hydro_step(
-                self.grid, self.state, vel, self.dt, self.gamma)
+                self.grid, self.state, vel, self.dt, self.gamma,
+                second_order=self.second_order)
             if self.mesh_motion:
                 old_volumes = self.grid.volumes
                 self.grid = evolve_voronoi_grid(self.grid, vel, self.dt)

@@ -272,3 +272,103 @@ class TestAccuracy:
         # err_amr ~= 0.094 with level-2 refinement at the front
         assert err_amr < err_coarse / 2.0
         assert err_amr < 0.15
+
+
+class TestOctree:
+    """Depth-independent octree traversal (VERDICT r3 ask #7 / PARITY
+    delta #4: deep AMR without the 8^max_level dense lattice)."""
+
+    def _refined_grid(self, n=8, max_level=2):
+        scheme = amr.SpatialRefinement(
+            zone_anchor=(0.0, 0.0, 0.0),
+            zone_sides=(BOX / 2, BOX / 2, BOX / 2), max_level=max_level)
+        return amr.build_amr_grid(
+            _geom(n), scheme, _uniform_density(1.0e8), max_level=max_level)
+
+    def test_octree_tables_consistent(self):
+        g = self._refined_grid()
+        root, children = g.octree()
+        # every leaf id appears exactly once across root + children
+        enc = np.concatenate([root, children[:, :].ravel()])
+        leaves = -(enc[enc < 0]) - 1
+        assert sorted(leaves.tolist()) == list(range(g.n_cells))
+        # internal ids are a permutation of the children rows actually used
+        internal = enc[enc >= 0]
+        n_internal = sum(len(c) for c in g.refined_coords)
+        assert sorted(internal.tolist()) == list(range(n_internal))
+
+    def test_octree_matches_dense_path(self):
+        """Per-leaf tallies from the octree march equal the dense-expand
+        march (same estimator; the leaf path is split into fine segments
+        there, marched whole here)."""
+        import jax
+
+        from cmacionize_tpu.models import sources
+        from cmacionize_tpu.ops import amr_traversal, traversal
+
+        g = self._refined_grid()
+        rng = np.random.default_rng(5)
+        chi_si = jnp.asarray(
+            10.0 ** rng.uniform(-17.5, -16.5, g.n_cells), jnp.float32)
+
+        n = 20000
+        key = jax.random.PRNGKey(9)
+        gpos_fine = tuple(
+            (np.full(3, 0.6 * BOX) - np.asarray(g.geometry.anchor))
+            / g.fine_cell_size)
+        px, py, pz, dx, dy, dz, tau, _, w = sources.emit_point_source(
+            key, n, gpos_fine)
+        packets = traversal.make_packets(
+            jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
+            tau, w, g.fine_shape)
+
+        dense_tally, dense_esc = amr.trace_amr(g, chi_si, packets)
+
+        root, children = g.octree()
+        dxc = float(g.geometry.cell_size[0])
+        scale = 2.0 ** (-g.max_level)
+        pk = packets._replace(
+            px=packets.px * scale, py=packets.py * scale,
+            pz=packets.pz * scale)
+        tally = jnp.zeros((g.n_cells,), jnp.float32)
+        tally, pk_out = amr_traversal.trace_packets_octree(
+            jnp.asarray(root), jnp.asarray(children),
+            chi_si * dxc, pk, tally,
+            coarse_shape=tuple(g.geometry.shape), max_level=g.max_level)
+        oct_tally = np.asarray(tally) * dxc
+
+        np.testing.assert_allclose(
+            oct_tally, np.asarray(dense_tally), rtol=2e-3,
+            atol=1e-4 * float(np.asarray(dense_tally).max()))
+        assert int(jnp.sum(~pk_out.absorbed)) == pytest.approx(
+            int(dense_esc), abs=max(2, int(0.002 * n)))
+
+    def test_deep_level5_without_dense_lattice(self):
+        """A level-5 hierarchy on a 16^3 coarse grid (finest lattice would
+        be 512^3 = 134M cells — above the dense budget): builds sparse,
+        owner is None, and an H-only iteration runs through the octree."""
+        scheme = amr.SpatialRefinement(
+            zone_anchor=(0.0, 0.0, 0.0),
+            zone_sides=(BOX / 16, BOX / 16, BOX / 16), max_level=5)
+        geom = _geom(16)
+        sim = amr.AMRIonizationSimulation(
+            geom, scheme, _uniform_density(1.0e8),
+            source_position=(0.05 * BOX,) * 3,
+            luminosity=4.26e49,
+            cross_section=6.3e-22,
+            recombination_rate=4e-19,
+            n_photons=20000,
+            max_level=5,
+            seed=3,
+        )
+        g = sim.grid
+        assert g.max_level == 5
+        assert g.owner is None  # no dense lattice was materialized
+        assert int(g.levels.max()) == 5
+        # leaves stay compact: ~37k vs the 134M dense fine count
+        assert g.n_cells < 60000
+        np.testing.assert_allclose(g.volumes.sum(), BOX ** 3, rtol=1e-9)
+        xn = np.asarray(sim.run(2))
+        # the source region ionizes
+        assert xn.min() < 1e-2
+        assert sim.ionized_volume() > 0

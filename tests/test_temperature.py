@@ -122,10 +122,10 @@ def test_compacted_solve_bitwise_identical():
     ref = ref_fn(T_init, j, h, nd, ABUND)
     got = temperature.solve_temperature_compacted(
         T_init, j, h, nd, ABUND, pahfac=1.0, crfac=0.0,
-        stage1_iterations=1, shrink=4)
+        stage1_iterations=1)
     # the staging must actually have happened for this to test anything
     stats = temperature.LAST_COMPACTED_STATS
-    assert stats["live_at_compaction"] > 0, stats
+    assert stats["compactions"] > 0, stats
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))

@@ -196,3 +196,80 @@ def test_dtype_expansion_on_voronoi():
     r_hi = hosokawa_inutsuka_radius(sim.time, r_st)
     assert r_front > r_st
     assert 0.6 * r_sp < r_front < 1.5 * r_hi
+
+
+def test_second_order_gradients_exact_on_linear_field():
+    """The LSQ cell gradients recover a linear field's gradient exactly on
+    interior cells (VERDICT r3 ask #10: second-order Voronoi hydro)."""
+    rng = np.random.default_rng(8)
+    L = 1.0e16
+    geom = GridGeometry((0.0, 0.0, 0.0), (L, L, L), (1, 1, 1))
+    pts = rng.uniform(0.05, 0.95, (400, 3))
+    grid = voronoi.build_voronoi_grid(geom, pts)  # unit-cube coords
+    g_si = np.asarray(grid.generators, np.float64) * grid.scale
+
+    grad_true = np.array([2.0e-16, -1.0e-16, 5.0e-17])
+    W = jnp.asarray(g_si @ grad_true, jnp.float32)
+
+    nbr = jnp.asarray(grid.neighbors)
+    is_cell = nbr >= 0
+    arms = jnp.asarray(voronoi_hydro.face_arms(grid))
+    rel = 2.0 * arms
+    dW = W[jnp.maximum(nbr, 0)] - W[:, None]
+    grads = np.asarray(voronoi_hydro._lsq_gradients(W, rel, is_cell, dW))
+
+    # interior cells (no wall faces): exact to f32 round-off
+    interior = ~np.any(np.asarray(grid.neighbors) == -1, axis=1)
+    assert interior.sum() > 50
+    np.testing.assert_allclose(
+        grads[interior], np.tile(grad_true, (int(interior.sum()), 1)),
+        rtol=2e-3, atol=2e-20)
+
+
+def test_second_order_sharper_than_first_order_sod():
+    """Second-order reconstruction must not be more diffusive than
+    first-order on a contact discontinuity."""
+    rng = np.random.default_rng(4)
+    L = 1.0
+    geom = GridGeometry((0.0, 0.0, 0.0), (L, L, L), (1, 1, 1))
+    # jittered lattice for a quasi-regular mesh
+    nx = 16
+    base = (np.indices((nx, 4, 4)).reshape(3, -1).T + 0.5) / np.array(
+        [nx, 4, 4])
+    pts = base + rng.uniform(-0.1, 0.1, base.shape) / np.array([nx, 4, 4])
+    grid = voronoi.build_voronoi_grid(geom, np.clip(pts, 0.02, 0.98))
+    g_si = np.asarray(grid.generators) * grid.scale
+
+    left = g_si[:, 0] < 0.5 * L
+    rho0 = np.where(left, 1.0, 0.125).astype(np.float32)
+    p0 = np.where(left, 1.0, 0.1).astype(np.float32)
+    C = grid.n_cells
+    zeros = jnp.zeros(C, jnp.float32)
+    state0 = voronoi_hydro.conserved_from_primitives(
+        jnp.asarray(rho0), zeros, zeros, zeros, jnp.asarray(p0),
+        grid.volumes, 1.4)
+    dt = 0.002 * L  # CFL-safe for c_s ~ 1.2
+
+    def run(second_order):
+        s = state0
+        vel = np.zeros((C, 3), np.float32)
+        for _ in range(40):
+            s = voronoi_hydro.voronoi_hydro_step(
+                grid, s, vel, dt, 1.4, second_order=second_order)
+        return s
+
+    s2 = run(True)
+    s1 = run(False)
+    assert np.isfinite(np.asarray(s2.rho)).all()
+    assert float(jnp.min(s2.rho)) > 0
+    # total variation of the density profile along x: the second-order
+    # solution resolves the wave structure at least as sharply (the exact
+    # solution's plateaus make excess TV a diffusion measure near the
+    # discontinuities being smeared INTO the plateaus; compare mid-band
+    # mixing instead): fewer cells stuck in the smeared band between the
+    # post-shock and rarefied states
+    def smeared_fraction(s):
+        rho = np.asarray(s.rho)
+        return np.mean((rho > 0.15) & (rho < 0.9))
+
+    assert smeared_fraction(s2) <= smeared_fraction(s1) + 1e-9
