@@ -67,7 +67,23 @@ new2 = """      const double volume = cellit.get_volume();
            << cellit.get_ionization_variables().get_ionic_fraction(ION_C_p1) << "\\t"
            << cellit.get_ionization_variables().get_ionic_fraction(ION_N_n) << "\\n";"""
 assert old2 in text, "split-grid ascii patch anchor not found"
-open(src, "w").write(text.replace(old2, new2))
+text = text.replace(old2, new2)
+
+# velocity columns on the classic overload (bondi comparison needs the
+# hydro state; appended AFTER the ionization extras so existing readers
+# keep their column indices)
+old3 = """         << it.get_ionization_variables().get_ionic_fraction(ION_N_n) << "\\n";
+  }
+}"""
+new3 = """         << it.get_ionization_variables().get_ionic_fraction(ION_N_n) << "\\t"
+         << it.get_hydro_variables().get_primitives_velocity().x() << "\\t"
+         << it.get_hydro_variables().get_primitives_velocity().y() << "\\t"
+         << it.get_hydro_variables().get_primitives_velocity().z() << "\\n";
+  }
+}"""
+assert old3 in text, "velocity ascii patch anchor not found"
+text = text.replace(old3, new3, 1)
+open(src, "w").write(text)
 print("patched", src)
 EOF
 

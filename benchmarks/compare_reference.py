@@ -96,7 +96,133 @@ def binned(r, q, edges, n=None, sel_extra=None):
     return out
 
 
+def compare_bondi(ref_path, ours_path):
+    """Bondi accretion: density + radial-velocity profiles and the
+    accretion rate of both codes against each other and the analytic
+    profile (reference benchmarks/bondi.param: 18 Msol, 1e-19 g/cm^3,
+    c_s = 2.031 km/s).  The reference ascii needs the velocity-extended
+    writer (build_reference.sh patch: columns 12-14 = vx,vy,vz)."""
+    import h5py
+
+    data = np.loadtxt(ref_path)
+    assert data.shape[1] >= 15, "reference ascii lacks velocity columns"
+    r_ref = np.sqrt((data[:, 0:3] ** 2).sum(1))
+    n_ref = data[:, 3]
+    v_ref = data[:, 12:15]
+    vr_ref = (data[:, 0:3] * v_ref).sum(1) / np.maximum(r_ref, 1e-30)
+
+    with h5py.File(ours_path, "r") as f:
+        parts = f["PartType0"]
+        coords = np.asarray(parts["Coordinates"], dtype=np.float64)
+        box = np.asarray(f["Header"].attrs["BoxSize"], dtype=np.float64)
+        rel = coords - 0.5 * box
+        r_ours = np.sqrt((rel**2).sum(1))
+        n_ours = np.asarray(parts["NumberDensity"], dtype=np.float64)
+        v_ours = np.asarray(parts["Velocities"], dtype=np.float64)
+        vr_ours = (rel * v_ours).sum(1) / np.maximum(r_ours, 1e-30)
+
+    failures = []
+    # compare inside the held Bondi region, outside the divergent mask
+    AU = 1.495978707e11
+    edges = np.linspace(10 * AU, min(r_ref.max(), r_ours.max()) * 0.95, 24)
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    nb_ref = binned(r_ref, n_ref, edges)
+    nb_ours = binned(r_ours, n_ours, edges)
+    dev_n = np.nanmax(np.abs(nb_ours / nb_ref - 1.0))
+    print(f"density profile: max rel dev {dev_n:.3f}")
+    if dev_n > 0.1:
+        failures.append(f"density profile deviates {dev_n:.3f}")
+
+    vb_ref = binned(r_ref, vr_ref, edges)
+    vb_ours = binned(r_ours, vr_ours, edges)
+    vscale = np.nanmax(np.abs(vb_ref))
+    dev_v = np.nanmax(np.abs(vb_ours - vb_ref)) / vscale
+    print(f"radial velocity profile: max dev {dev_v:.3f} of peak "
+          f"({vscale:.1f} m/s)")
+    if dev_v > 0.1:
+        failures.append(f"velocity profile deviates {dev_v:.3f}")
+
+    # accretion rate mdot = 4 pi r^2 rho |v_r| at mid radii, vs the
+    # analytic Bondi rate of the configured profile
+    MP = 1.672621898e-27
+    sel = slice(len(mid) // 4, 3 * len(mid) // 4)
+    mdot_ref = np.nanmean(
+        4 * np.pi * mid[sel] ** 2 * nb_ref[sel] * MP * -vb_ref[sel])
+    mdot_ours = np.nanmean(
+        4 * np.pi * mid[sel] ** 2 * nb_ours[sel] * MP * -vb_ours[sel])
+    G = 6.67408e-11
+    M = 18.0 * 1.98855e30
+    cs = 2031.0
+    rho_inf = 1.0e-16  # 1e-19 g cm^-3
+    mdot_analytic = (
+        np.exp(1.5) * np.pi * G * G * M * M * rho_inf / cs**3)
+    print(f"accretion rate: ref {mdot_ref:.4g} kg/s, ours {mdot_ours:.4g} "
+          f"kg/s, analytic {mdot_analytic:.4g} kg/s")
+    if not 0.9 < mdot_ours / mdot_ref < 1.1:
+        failures.append(
+            f"accretion rate ratio {mdot_ours / mdot_ref:.3f} outside 10%")
+
+    if failures:
+        print("FAIL")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("PASS")
+    return 0
+
+
+def compare_dusty(ref_path, ours_path, resolution=(200, 200)):
+    """Dust-scattering CCD image: both sides are raw row-major f64 arrays
+    (CCDImage BinaryArray / our .dat).  MC noise at the 500k-photon budget
+    is large per pixel, so the criteria are image-level: normalized-image
+    correlation, flux-weighted center agreement, and the azimuthally
+    averaged radial surface-brightness profile."""
+    ref = np.fromfile(ref_path, dtype=np.float64).reshape(resolution)
+    ours = np.fromfile(ours_path, dtype=np.float64).reshape(resolution)
+    failures = []
+
+    nref = ref / ref.sum()
+    nours = ours / ours.sum()
+    corr = np.corrcoef(nref.ravel(), nours.ravel())[0, 1]
+    print(f"normalized image correlation: {corr:.4f}")
+    if corr < 0.9:
+        failures.append(f"image correlation {corr:.3f} < 0.9")
+
+    iy, ix = np.indices(resolution)
+    for name, img in (("ref", nref), ("ours", nours)):
+        cy = (iy * img).sum()
+        cx = (ix * img).sum()
+        print(f"{name} flux centroid: ({cx:.1f}, {cy:.1f}) px")
+    c_ref = np.array([(ix * nref).sum(), (iy * nref).sum()])
+    c_ours = np.array([(ix * nours).sum(), (iy * nours).sum()])
+    if np.abs(c_ref - c_ours).max() > 4.0:
+        failures.append("flux centroids differ by > 4 px")
+
+    # radial surface-brightness profile around the shared centroid
+    rr = np.sqrt((ix - c_ref[0]) ** 2 + (iy - c_ref[1]) ** 2)
+    edges = np.linspace(0, resolution[0] / 2.0, 20)
+    prof_ref = binned(rr.ravel(), nref.ravel(), edges)
+    prof_ours = binned(rr.ravel(), nours.ravel(), edges)
+    ok = np.isfinite(prof_ref) & (prof_ref > 1e-3 * np.nanmax(prof_ref))
+    dev = np.nanmax(np.abs(prof_ours[ok] / prof_ref[ok] - 1.0))
+    print(f"radial profile: max rel dev {dev:.3f} (bins above 1e-3 peak)")
+    if dev > 0.25:
+        failures.append(f"radial profile deviates {dev:.3f}")
+
+    if failures:
+        print("FAIL")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("PASS")
+    return 0
+
+
 def compare(kind, ref_path, ours_path):
+    if kind == "bondi":
+        return compare_bondi(ref_path, ours_path)
+    if kind == "dusty":
+        return compare_dusty(ref_path, ours_path)
     ref = read_reference_ascii(ref_path)
     ours = read_ours(ours_path)
     failures = []
