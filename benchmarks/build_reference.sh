@@ -71,18 +71,29 @@ text = text.replace(old2, new2)
 
 # velocity columns on the classic overload (bondi comparison needs the
 # hydro state; appended AFTER the ionization extras so existing readers
-# keep their column indices)
+# keep their column indices).  RHD grids store hydro in INTERNAL units
+# (InternalHydroUnits) — convert to SI like the Gadget writer does.
 old3 = """         << it.get_ionization_variables().get_ionic_fraction(ION_N_n) << "\\n";
   }
 }"""
 new3 = """         << it.get_ionization_variables().get_ionic_fraction(ION_N_n) << "\\t"
-         << it.get_hydro_variables().get_primitives_velocity().x() << "\\t"
-         << it.get_hydro_variables().get_primitives_velocity().y() << "\\t"
-         << it.get_hydro_variables().get_primitives_velocity().z() << "\\n";
+         << v_SI.x() << "\\t" << v_SI.y() << "\\t" << v_SI.z() << "\\n";
   }
 }"""
 assert old3 in text, "velocity ascii patch anchor not found"
 text = text.replace(old3, new3, 1)
+old4 = """    double n = it.get_ionization_variables().get_number_density();"""
+new4 = """    CoordinateVector<> v_SI =
+        it.get_hydro_variables().get_primitives_velocity();
+    if (hydro_units != nullptr) {
+      v_SI = hydro_units->convert_to_SI_units< QUANTITY_VELOCITY >(v_SI);
+    }
+    double n = it.get_ionization_variables().get_number_density();"""
+assert old4 in text, "velocity conversion anchor not found"
+text = text.replace(old4, new4, 1)
+text = text.replace(
+    '#include "DensityGrid.hpp"',
+    '#include "DensityGrid.hpp"\n#include "InternalHydroUnits.hpp"', 1)
 open(src, "w").write(text)
 print("patched", src)
 EOF

@@ -442,6 +442,8 @@ def _run_dust(params, log, seed):
         stellar_scale_height=params.get_physical_value(
             "ContinuousPhotonSource:scale height stars", "length", "0.6 kpc"
         ),
+        bulge_over_total=params.get_number(
+            "ContinuousPhotonSource:bulge over total ratio", 0.2),
         n_photons=params.get_int("DustSimulation:number of photons", 500000),
         albedo=albedo,
         hgg=hgg,

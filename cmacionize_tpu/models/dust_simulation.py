@@ -48,13 +48,25 @@ class DustConfig:
     dust_central_density: float  # central opacity density  kappa*rho (m^-1)
     dust_scale_radius: float
     dust_scale_height: float
-    # stellar emission disc (SpiralGalaxyContinuousPhotonSource)
+    # stellar emission disc + bulge (SpiralGalaxyContinuousPhotonSource)
     stellar_scale_radius: float
     stellar_scale_height: float
     n_photons: int
     albedo: float = ALBEDO_V
     hgg: float = HGG_V
-    n_scatterings: int = 3
+    #: maximum scattering orders.  The reference loops until the photon
+    #: leaves the grid (DustPhotonShootJob.hpp:133-160); order k carries
+    #: weight albedo^k, so truncation error is bounded by albedo^(n+1)
+    #: (~1% of the scattered flux at 12 orders for the V band's 0.67) —
+    #: the round-4 image comparison measured a 45%-dim scattered halo at
+    #: the old cap of 3
+    n_scatterings: int = 12
+    #: fraction of the luminosity from the spherical bulge (reference
+    #: B_over_T with its fixed rC = 0.2 kpc / rB = 2 kpc / rJ = 0.4 kpc
+    #: cutoff/Jaffe radii, SpiralGalaxyContinuousPhotonSource.hpp:58-66;
+    #: its absence left our galaxy centers 2x dim in the round-4 image
+    #: comparison)
+    bulge_over_total: float = 0.2
     ccd_pixels: Tuple[int, int] = (128, 128)
     # observer along +z by default (face-on image)
     observer_direction: Tuple[float, float, float] = (0.0, 0.0, 1.0)
@@ -176,10 +188,17 @@ class DustSimulation:
 
     def _emit(self, key, n):
         """Sample emission positions from the stellar double-exponential disc
-        (grid units) and isotropic directions."""
+        plus the spherical bulge (grid units) and isotropic directions.
+
+        Mirrors SpiralGalaxyContinuousPhotonSource
+        (/root/reference/src/SpiralGalaxyContinuousPhotonSource.hpp:104-150):
+        with probability B/T·(1 − A_C/A_B) the photon comes from the bulge,
+        whose radius inverts A = u·A_B + (1−u)·A_C with A_X = r_X/(r_X+r_J);
+        out-of-box draws carry zero weight (same effective distribution as
+        the reference's resampling loop)."""
         cfg = self.config
         geom = cfg.geometry
-        keys = jax.random.split(key, 5)
+        keys = jax.random.split(key, 9)
         # radius: gamma(2) distribution for an exponential disc surface
         u1 = jax.random.uniform(keys[0], (n,), jnp.float32, 1e-7, 1.0)
         u2 = jax.random.uniform(keys[1], (n,), jnp.float32, 1e-7, 1.0)
@@ -191,6 +210,27 @@ class DustSimulation:
         x = radius * jnp.cos(phi)
         y = radius * jnp.sin(phi)
         pos_si = jnp.stack([x, y, height], 1)
+
+        if cfg.bulge_over_total > 0.0:
+            r_C, r_B, r_J = 0.2 * KPC, 2.0 * KPC, 0.4 * KPC
+            A_B = r_B / (r_B + r_J)
+            A_C = r_C / (r_C + r_J)
+            p_bulge = cfg.bulge_over_total * (1.0 - A_C / A_B)
+            u = jax.random.uniform(keys[5], (n,), jnp.float32)
+            A = u * A_B + (1.0 - u) * A_C
+            r_bulge = r_J / (1.0 / A - 1.0)
+            phi_b = jax.random.uniform(
+                keys[6], (n,), jnp.float32, 0, 2 * np.pi)
+            cost = jax.random.uniform(keys[7], (n,), jnp.float32, -1.0, 1.0)
+            sint = jnp.sqrt(jnp.maximum(1.0 - cost**2, 0.0))
+            bulge_pos = jnp.stack([
+                r_bulge * sint * jnp.cos(phi_b),
+                r_bulge * sint * jnp.sin(phi_b),
+                r_bulge * cost,
+            ], 1)
+            is_bulge = jax.random.uniform(
+                keys[8], (n,), jnp.float32) <= p_bulge
+            pos_si = jnp.where(is_bulge[:, None], bulge_pos, pos_si)
         anchor = jnp.asarray(geom.anchor, jnp.float32)
         cell = jnp.asarray(geom.cell_size, jnp.float32)
         gpos = (pos_si - anchor) / cell
@@ -209,7 +249,12 @@ class DustSimulation:
         obs = jnp.asarray(cfg.observer_direction, jnp.float32)
         obs = obs / jnp.linalg.norm(obs)
         direction = jnp.broadcast_to(obs, (n, 3))
-        big = jnp.full((n,), 1e30, jnp.float32)
+        # "never absorbed" target: must stay WELL within f32 resolution —
+        # 1e30 here silently rounded the recovered tau to zero
+        # (1e30 - tau == 1e30 in f32), wiping all extinction from the CCD
+        # images; 1e4 leaves tau resolution ~1e-3 and no physical path in
+        # these problems reaches tau ~ 1e4
+        big = jnp.full((n,), 1.0e4, jnp.float32)
         packets = traversal.make_packets(
             gpos, direction, big, jnp.zeros((n,), jnp.float32), shape
         )

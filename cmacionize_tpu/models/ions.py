@@ -9,6 +9,14 @@ tracked fraction is the *neutral* fraction).
 On TPU the ion set is a static configuration: arrays carry a leading ion axis
 of length ``len(ion_names)`` and XLA specializes per configuration, replacing
 the reference's #ifdef-based compile-time composition.
+
+Argon (the reference's optional ``HAS_ARGON``, ElementNames.hpp:144-150) is
+intentionally absent: in the reference that ifdef only adds enum slots and
+ElementData entries — no code in IonizationStateCalculator,
+TemperatureCalculator or LineCoolingData ever computes or consumes an Ar
+fraction (verified by grep: ``ION_Ar`` appears in ElementNames.hpp and
+ElementData.hpp only), so the default 14-ion build here IS full solver
+parity; mirroring the skeleton enum would add state without behavior.
 """
 
 from __future__ import annotations

@@ -883,10 +883,27 @@ class RHDSimulation:
             and diagnostics is None
             and radtime < 0.0
         )
+        # with gravity/forcing the velocity field can change by g·dt within
+        # a single step, so the CFL must be re-evaluated EVERY step (the
+        # reference does; a 16-step block at the initial v=0 CFL turned the
+        # bondi run to NaN): clamp the fused block to one step, and bound
+        # dt by the acceleration criterion sqrt(2·CFL·dx/|g|max) so the
+        # first kick cannot overshoot either
+        has_accel = (
+            self.gravity is not None or self.self_gravity
+            or self.forcing is not None
+        )
+        max_block = 1 if has_accel else self._chunk_len
+        dt_accel = np.inf
+        if self.gravity is not None:
+            g_max = max(float(jnp.max(jnp.abs(g))) for g in self.gravity)
+            if g_max > 0.0:
+                dt_accel = float(np.sqrt(2.0 * cfg.cfl * self.dx / g_max))
         step_num = 0
         while not timeline.finished:
             requested = float(hydro.cfl_timestep(
                 self.state, (self.dx,) * 3, cfl=cfg.cfl, gamma=cfg.gamma))
+            requested = min(requested, dt_accel)
             dt = timeline.set_timestep(min(requested, dt_max))
             if dt > requested * 1.01:
                 self.log.warning(
@@ -906,7 +923,7 @@ class RHDSimulation:
                 n_to_snap = min(n_to_snap, max(
                     int(np.ceil((t_live - self.time) / dt - 1e-9)), 1))
             if fused_ok:
-                n_block = min(self._chunk_len, n_to_snap, n_to_end)
+                n_block = min(max_block, n_to_snap, n_to_end)
                 self._run_fused_chunks(n_block, dt, log_every=10**9)
                 if statistics is not None:  # self.time already advanced
                     statistics.log(

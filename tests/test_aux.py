@@ -689,3 +689,17 @@ class TestParameterChecksum:
 
         assert ParameterFile(None).checksum is None
         assert ParameterFile({"a": 1}).checksum is None
+
+
+def test_format_enforcement():
+    """Source-format enforcement (reference format_script.sh equivalent;
+    SURVEY §2.11)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "format_check.py")],
+        capture_output=True, text=True)
+    assert result.returncode == 0, result.stdout

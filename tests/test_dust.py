@@ -72,3 +72,35 @@ def test_dust_image_centrally_concentrated():
     center = image[12:20, 12:20].mean()
     edge = np.concatenate([image[:4].ravel(), image[-4:].ravel()]).mean()
     assert center > 5 * edge
+
+
+def test_peel_off_tau_nonzero_through_opaque_disc():
+    """Regression (round 4): the peel-off optical depth was silently ZERO
+    for every event — the 1e30 'never absorb' tau target cancelled the
+    accumulated tau in f32 (1e30 - tau == 1e30), wiping all extinction
+    from the CCD images (caught by the dusty_galaxy image comparison:
+    inverted dust lane, correlation 0.73)."""
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.models.dust_simulation import DustConfig, DustSimulation
+    from cmacionize_tpu.models.grid import GridGeometry
+
+    KPC = 3.086e19
+    geometry = GridGeometry((-12 * KPC,) * 3, (24 * KPC,) * 3, (64, 64, 64))
+    config = DustConfig(
+        geometry=geometry,
+        dust_central_density=21.9 * 1.674e-27 * 1e6,
+        dust_scale_radius=6 * KPC,
+        dust_scale_height=0.22 * KPC,
+        stellar_scale_radius=5 * KPC,
+        stellar_scale_height=0.6 * KPC,
+        n_photons=64,
+        view_theta=np.deg2rad(89.7),
+        view_phi=0.0,
+    )
+    sim = DustSimulation(config)
+    center = jnp.asarray([[32.2, 32.2, 32.2]], jnp.float32)
+    tau = float(sim._peel_off_tau(center)[0])
+    # numeric integral along the observer direction gives ~5.3 at 201^3
+    # resolution; the coarse 64^3 grid resolves it to tens of percent
+    assert 2.0 < tau < 10.0, tau

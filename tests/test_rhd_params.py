@@ -47,6 +47,11 @@ def test_bondi_from_params_holds_profile():
     sel = (r > 15 * AU) & (r < 45 * AU)
     rel = np.abs(np.asarray(w.rho)[sel] / rho0[sel] - 1)
     assert np.median(rel) < 0.05
+    # regression (round 4): per-block CFL once let the gravity kick run
+    # 16 steps at the v=0 timestep and the state went NaN — gravity runs
+    # must stay finite under the per-step CFL + acceleration bound
+    assert np.isfinite(np.asarray(w.vx)).all()
+    assert np.isfinite(np.asarray(w.p)).all()
 
 
 def _base_params(extra):
