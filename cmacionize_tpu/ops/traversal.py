@@ -938,8 +938,8 @@ def trace_packets_blocked_cascade(
     periodic=(False, False, False),
     inner_steps: int = 0,
     max_steps: int = 0,
-    shrink: int = 4,
-    n_stages: int = 3,
+    shrink: int = 3,
+    n_stages: int = 4,
 ):
     """Blocked march with fully on-device width compaction (no host syncs).
 
@@ -953,6 +953,10 @@ def trace_packets_blocked_cascade(
     and general argsort dwarfed the savings; measured on-device the packed
     sort is ~1 ms and the row-gather permute ~2.6 ms per 1e6 packets, so the
     cascade wins whenever the survival curve decays (every benchmark does).
+    Defaults (shrink 3, 4 stages) won the round-4 A/B on BOTH the converged
+    stromgren and the mostly-neutral early-phase starbench curves
+    (tools/probe_cascade_r4.py, /tmp probe on converged stromgren:
+    214 ms vs 228 ms for the round-3 4x3 staging).
 
     Estimator-identical to :func:`trace_packets` (same deposits, same
     termination); only the batch bookkeeping differs.
