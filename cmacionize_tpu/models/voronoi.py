@@ -144,6 +144,9 @@ class VoronoiGrid:
     offsets: np.ndarray  # [C, K] f32 plane offsets n·m
     shifts: np.ndarray  # [C, K, 3] f32 position jump on crossing (periodic)
     areas: np.ndarray = None  # [C, K] f32 face areas (box units²)
+    #: [C, K, 3] f32 face polygon centroids (box units) — the second-order
+    #: hydro evaluates face states here (None on grids from older builds)
+    face_centroids: np.ndarray = None
 
     @property
     def n_cells(self) -> int:
@@ -304,7 +307,8 @@ def _tessellate(geometry, pts, box, scale, margin=None) -> VoronoiGrid:
                  else np.zeros((0, 3)))
     vor = Voronoi(allpts)
 
-    faces = [[] for _ in range(n)]  # per cell: (nbr, normal, offset, shift, A)
+    # per cell: (nbr, normal, offset, shift, A, face centroid)
+    faces = [[] for _ in range(n)]
     for (p, q), ridge_verts in zip(vor.ridge_points, vor.ridge_vertices):
         for a, b in ((p, q), (q, p)):
             if a >= n:
@@ -326,9 +330,15 @@ def _tessellate(geometry, pts, box, scale, margin=None) -> VoronoiGrid:
                 nbr = -1 if is_wall else int(ext_orig[b - n])
             if -1 in ridge_verts:
                 area = 0.0  # unbounded far-image ridge (never a real face)
+                fc = mid
             else:
-                area = _polygon_area(vor.vertices[ridge_verts])
-            faces[a].append((nbr, normal, offset, shift, area))
+                verts = vor.vertices[ridge_verts]
+                area = _polygon_area(verts)
+                # the true polygon centroid: on irregular meshes the
+                # bisector midpoint can sit far off (or outside) the face,
+                # which biases second-order flux evaluation points
+                fc = verts.mean(axis=0) if len(verts) else mid
+            faces[a].append((nbr, normal, offset, shift, area, fc))
 
     k_max = max(len(f) for f in faces)
     neighbors = np.full((n, k_max), -2, np.int32)
@@ -336,13 +346,15 @@ def _tessellate(geometry, pts, box, scale, margin=None) -> VoronoiGrid:
     offsets = np.zeros((n, k_max), np.float32)
     shifts = np.zeros((n, k_max, 3), np.float32)
     areas = np.zeros((n, k_max), np.float32)
+    face_centroids = np.zeros((n, k_max, 3), np.float32)
     for i, f in enumerate(faces):
-        for k, (nbr, normal, offset, shift, area) in enumerate(f):
+        for k, (nbr, normal, offset, shift, area, fc) in enumerate(f):
             neighbors[i, k] = nbr
             normals[i, k] = normal
             offsets[i, k] = offset
             shifts[i, k] = shift
             areas[i, k] = area
+            face_centroids[i, k] = fc
 
     volumes = np.empty(n)
     centroids = np.empty((n, 3))
@@ -358,7 +370,7 @@ def _tessellate(geometry, pts, box, scale, margin=None) -> VoronoiGrid:
         geometry=geometry, scale=scale, generators=pts,
         volumes=volumes, centroids=centroids,
         neighbors=neighbors, normals=normals, offsets=offsets, shifts=shifts,
-        areas=areas,
+        areas=areas, face_centroids=face_centroids,
     )
 
 

@@ -26,14 +26,15 @@ Scheme (MUSCL Godunov, moving faces):
   primitives are re-derived from the unchanged totals and the new volumes.
 
 Second order (VERDICT r3 ask #10): least-squares cell gradients over the
-neighbor graph + Barth-Jespersen limiting + per-face pair clamping +
-half-dt primitive prediction (the reference's GradientCalculator /
-Hydro::limit / predict_primitive_variables machinery re-derived for the
-flattened cell-graph arrays), with a face-symmetric first-order fallback
-on cells a trial update would drain.  Default ON for pure hydro (sod-class
-problems measure sharper fronts, unit-tested); default OFF in
-VoronoiRHDSimulation — see its docstring for the measured positivity
-limitation on near-vacuum D-type interiors.
+neighbor graph (evaluated at TRUE face polygon centroids — bisector
+midpoints sit off the face on irregular meshes) + Barth-Jespersen limiting
+with a 0.5 slope safety factor + per-face pair clamping + half-dt
+primitive prediction (the reference's GradientCalculator / Hydro::limit /
+predict_primitive_variables machinery re-derived for the flattened
+cell-graph arrays), plus a face-symmetric first-order fallback on cells a
+trial update would drain.  Default ON everywhere, including the RHD
+driver (the full-slope instability on near-vacuum D-type interiors is
+cured by the centroid arms + slope factor; probed in round 4).
 
 Documented deltas vs the reference: per-row flux evaluation (each face
 computed from both sides; HLLC's L/R symmetry makes the two values equal
@@ -131,10 +132,11 @@ def _lsq_gradients(W, rel_pos, is_cell, dW):
     return jnp.linalg.solve(G, b[..., None])[..., 0]
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "second_order"))
+@functools.partial(
+    jax.jit, static_argnames=("gamma", "second_order", "slope_factor"))
 def _voronoi_flux_update(
-    neighbors, normals, area_over_vol, face_rel, state, gen_vel, dt, gamma,
-    second_order: bool = True,
+    neighbors, normals, area_over_vol, face_rel, nbr_rel, state, gen_vel,
+    dt, gamma, second_order: bool = True, slope_factor: float = 0.5,
 ):
     """One moving-face Godunov update of the intensive state.
 
@@ -182,9 +184,7 @@ def _voronoi_flux_update(
 
     ones = jnp.ones_like(area_over_vol)
     if second_order:
-        # perpendicular-bisector faces: the neighbor generator offset is
-        # exactly twice the face-point arm
-        rel = 2.0 * face_rel
+        rel = nbr_rel  # neighbor generator offsets (LSQ stencil arms)
         tinyW = 1e-12
 
         def limited_gradient(W):
@@ -201,7 +201,13 @@ def _voronoi_flux_update(
                 jnp.where(ext < -tinyW, lo / jnp.minimum(ext, -tinyW), 1.0),
             )
             a = jnp.where(is_cell | is_wall, a, 1.0)
-            alpha = jnp.clip(jnp.min(a, axis=1), 0.0, 1.0)
+            # slope_factor < 1 damps the limited gradients: full
+            # Barth-Jespersen slopes are marginally unstable on irregular
+            # Qhull meshes at strong contrasts (round-4 hot-bubble probes:
+            # full slopes blow up by step ~70, 0.5 survives, 0.25 is as
+            # robust as first order) — the safety-factor practice of
+            # unstructured FV codes
+            alpha = slope_factor * jnp.clip(jnp.min(a, axis=1), 0.0, 1.0)
             return g * alpha[:, None]
 
         gr_rho = limited_gradient(rho)
@@ -231,9 +237,10 @@ def _voronoi_flux_update(
             return Wp[:, None] + jnp.einsum("cka,ca->ck", face_rel, g)
 
         def face_R(Wp, g):
-            # the neighbor's arm to the shared face point is −face_rel
-            return gather(Wp) - jnp.einsum(
-                "cka,cka->ck", face_rel, gather(g))
+            # the neighbor's arm to the shared face point: fp − g_j
+            arm_j = face_rel - nbr_rel
+            return gather(Wp) + jnp.einsum(
+                "cka,cka->ck", arm_j, gather(g))
 
         def pair_clamp(L, R, Wi, Wj):
             # per-face pair limiting (Hydro.hpp:108 ``limit``): face values
@@ -350,13 +357,9 @@ def _voronoi_flux_update(
     )
 
 
-def face_arms(grid: VoronoiGrid) -> np.ndarray:
-    """[C, K, 3] f32 face point − cell generator (meters).
-
-    Cell faces sit on the perpendicular bisector: arm = (g_j − g_i)/2
-    (+ periodic shift); wall faces: the generator's projection onto the
-    wall plane, arm = (offset − n·g)·n.
-    """
+def neighbor_offsets(grid: VoronoiGrid) -> np.ndarray:
+    """[C, K, 3] f32 apparent neighbor generator − cell generator (meters);
+    zero on wall/padding faces."""
     g = np.asarray(grid.generators, np.float64)
     nbr = grid.neighbors
     safe = np.maximum(nbr, 0)
@@ -365,11 +368,32 @@ def face_arms(grid: VoronoiGrid) -> np.ndarray:
         # crossing shifts map into the true neighbor frame (pos += shift),
         # so the APPARENT neighbor position is g_true − shift
         rel = rel - np.asarray(grid.shifts, np.float64)
+    rel = np.where((nbr >= 0)[..., None], rel, 0.0)
+    return (rel * grid.scale).astype(np.float32)
+
+
+def face_arms(grid: VoronoiGrid) -> np.ndarray:
+    """[C, K, 3] f32 face point − cell generator (meters).
+
+    Uses the TRUE face polygon centroid when the grid carries it (on
+    irregular meshes the perpendicular-bisector midpoint can sit far off
+    the actual face — the round-4 hot-bubble probes traced the
+    second-order instability to exactly this inconsistency); falls back to
+    the bisector midpoint for cell faces and the generator's wall
+    projection for wall faces.
+    """
+    g = np.asarray(grid.generators, np.float64)
+    nbr = grid.neighbors
+    rel = neighbor_offsets(grid).astype(np.float64) / grid.scale
     n = np.asarray(grid.normals, np.float64)
     dist = np.asarray(grid.offsets, np.float64) - np.einsum(
         "cka,ca->ck", n, g)
     wall_arm = dist[..., None] * n
     arm = np.where((nbr >= 0)[..., None], 0.5 * rel, wall_arm)
+    if grid.face_centroids is not None:
+        fc_arm = np.asarray(grid.face_centroids, np.float64) - g[:, None, :]
+        arm = np.where((nbr != -2)[..., None], fc_arm, arm)
+    arm = np.where((nbr != -2)[..., None], arm, 0.0)
     return (arm * grid.scale).astype(np.float32)
 
 
@@ -380,6 +404,7 @@ def voronoi_hydro_step(
     dt: float,
     gamma: float = 5.0 / 3.0,
     second_order: bool = True,
+    slope_factor: float = 0.5,
 ) -> VoronoiHydroState:
     """Advance the intensive state one step on the (possibly moving) mesh."""
     area_over_vol = jnp.asarray(
@@ -391,11 +416,13 @@ def voronoi_hydro_step(
         jnp.asarray(grid.normals),
         area_over_vol,
         jnp.asarray(face_arms(grid)),
+        jnp.asarray(neighbor_offsets(grid)),
         state,
         jnp.asarray(gen_velocities_si, jnp.float32),
         jnp.float32(dt),
         gamma,
         second_order,
+        slope_factor,
     )
 
 
@@ -464,7 +491,7 @@ class VoronoiRHDSimulation:
                  n_photons, nloop, number_density, temperature,
                  neutral_temperature=100.0, ionised_temperature=1.0e4,
                  shock_temperature=3.0e4, mesh_motion=False,
-                 second_order=False, seed=42):
+                 second_order=True, seed=42):
         from cmacionize_tpu import constants
 
         self.grid = grid
@@ -480,13 +507,11 @@ class VoronoiRHDSimulation:
         self.ionised_temperature = ionised_temperature
         self.shock_temperature = shock_temperature
         self.mesh_motion = bool(mesh_motion)
-        #: MUSCL reconstruction on the cell graph.  Default OFF for the
-        #: RHD driver: the rarefying D-type interior reaches density
-        #: contrasts where the second-order scheme loses positivity even
-        #: with the face-symmetric first-order fallback (probed at several
-        #: dt on the starbench_voronoi configuration — the f32 intensive
-        #: state at ~1e-19 kg/m^3 leaves no headroom); pure-hydro problems
-        #: (sod class) run second-order by default and are tested sharper.
+        #: MUSCL reconstruction on the cell graph (slope_factor 0.5 —
+        #: full Barth-Jespersen slopes are marginally unstable on
+        #: irregular Qhull meshes at D-type density contrasts; the damped
+        #: slopes survive the full starbench_voronoi run and land the
+        #: front closer to the Spitzer curve than first order)
         self.second_order = bool(second_order)
         self.key = jax.random.PRNGKey(seed)
 

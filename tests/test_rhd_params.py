@@ -169,3 +169,53 @@ def test_single_supernova_feedback_injects_energy():
     # the SN dumped 1e37 J into the box (~40x one cell's thermal energy;
     # kept modest so the blast stays within the fixed-dt CFL bound)
     assert e1 - e0 > 0.5e37
+
+
+def test_radiation_time_gating():
+    """`radiation time` > 0: the MC update runs only when due; hydro-only
+    steps use the gated step variant (RadiationHydrodynamicsSimulation.cpp
+    :540-571 hydro_lastrad logic)."""
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.rhd_simulation import RHDConfig, RHDSimulation
+
+    PC = 3.086e16
+    total = 1.0e12
+    config = RHDConfig(
+        geometry=GridGeometry((-PC,) * 3, (2 * PC,) * 3, (8, 8, 8)),
+        gamma=1.0001,
+        timestep=total / 8.0,
+        total_time=total,
+        luminosity=1e49,
+        source_position=(0.0, 0.0, 0.0),
+        cross_section=6.3e-22,
+        recombination_rate=2.7e-19,
+        n_photons=512,
+        nloop=1,
+        background_density=3.113e9,
+        background_temperature=100.0,
+        minimum_timestep=total / 8.0,
+        maximum_timestep=total / 8.0,
+        radiation_time=total / 2.0,  # only 2 radiation events in 8 steps
+    )
+    sim = RHDSimulation(config, seed=3)
+    calls = {"rad": 0, "hydro_only": 0}
+    orig_advance = sim.advance
+    orig_hydro = sim._hydro_only_step
+
+    def counting_advance(*a, **k):
+        calls["rad"] += 1
+        return orig_advance(*a, **k)
+
+    def counting_hydro(dt):
+        calls["hydro_only"] += 1
+        return orig_hydro(dt)
+
+    sim.advance = counting_advance
+    sim._hydro_only_step = counting_hydro
+    sim.run(log_every=10**9)
+    assert sim.time == pytest.approx(total, rel=1e-9)
+    # radiation due at t=0 and t=total/2; the other 6 steps are gated
+    assert calls["rad"] == 2, calls
+    assert calls["hydro_only"] == 6, calls
+    # the bubble still ionized around the source
+    assert float(jnp.min(sim.neutral_fraction)) < 0.5

@@ -213,8 +213,7 @@ def test_second_order_gradients_exact_on_linear_field():
 
     nbr = jnp.asarray(grid.neighbors)
     is_cell = nbr >= 0
-    arms = jnp.asarray(voronoi_hydro.face_arms(grid))
-    rel = 2.0 * arms
+    rel = jnp.asarray(voronoi_hydro.neighbor_offsets(grid))
     dW = W[jnp.maximum(nbr, 0)] - W[:, None]
     grads = np.asarray(voronoi_hydro._lsq_gradients(W, rel, is_cell, dW))
 
