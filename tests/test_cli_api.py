@@ -279,3 +279,65 @@ def test_cli_amr_multi_element_dispatch(tmp_path, monkeypatch):
     assert "temperature" in out and "neutral_fraction_He" in out
     assert (out["temperature"] > 0).all()
     assert out["neutral_fraction"].min() < 0.1  # ionized core exists
+
+
+def test_cli_tracker_manager_wiring(tmp_path):
+    """The reference's TrackerManager parameter block + tracker YAML runs
+    unchanged through the CLI (VERDICT r3 ask #6 'Done =' criterion):
+    trackers placed, the photon budget raised to `minimum number of photon
+    packets`, reference-layout outputs written."""
+    (tmp_path / "trackers.yml").write_text(
+        "number of trackers: 2\n"
+        "tracker[0]:\n"
+        "  position: [1. pc, 0. pc, 0. pc]\n"
+        "  type: Spectrum\n"
+        "tracker[1]:\n"
+        "  position: [1. pc, 0. pc, 0. pc]\n"
+        "  type: Absorption\n"
+        "  output name: absorption.txt\n"
+    )
+    param_text = """
+SimulationBox:
+  anchor: [-5. pc, -5. pc, -5. pc]
+  sides: [10. pc, 10. pc, 10. pc]
+DensityGrid:
+  number of cells: [8, 8, 8]
+DensityFunction:
+  density: 100. cm^-3
+  temperature: 8000. K
+PhotonSourceDistribution:
+  luminosity: 4.26e49 s^-1
+PhotonSourceSpectrum:
+  type: Planck
+  temperature: 40000. K
+IonizationSimulation:
+  number of photons: 1000
+  number of iterations: 2
+TrackerManager:
+  filename: trackers.yml
+  minimum number of photon packets: 4096
+DensityGridWriter:
+  prefix: trk_
+"""
+    param_file = tmp_path / "trk.param"
+    param_file.write_text(param_text)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, "-m", "cmacionize_tpu", "--params", str(param_file)],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr
+    assert "placed 2 tracker(s)" in result.stdout + result.stderr
+    spectrum = tmp_path / "Tracker0.txt"
+    absorption = tmp_path / "absorption.txt"
+    assert spectrum.exists() and absorption.exists()
+    import numpy as np
+
+    data = np.loadtxt(spectrum)
+    assert data.shape[1] == 4  # frequency + 3 PHOTONTYPE columns
+    assert data[:, 1].sum() > 0  # primary crossings recorded
+    text = absorption.read_text()
+    assert text.startswith("# Ion") and "H_n" in text
