@@ -883,9 +883,17 @@ class MultiFreqIonizationSimulation:
         arrays = {f"xion_{name}": arr for name, arr in self.xion.items()}
         arrays["temperature"] = self.temperature
         arrays["rng_key"] = jax.random.key_data(self.key)
+        if self._cell_trackers is not None:
+            # trackers are stateful across iterations like every reference
+            # object with a write_restart_file hook (RestartWriter.hpp)
+            arrays["tracker_counts"] = self._cell_trackers.counts
+            arrays["tracker_weighted"] = self._cell_trackers.weighted
+            arrays["tracker_lengths"] = self._cell_trackers.lengths
         return manager.write(arrays, {"iteration": self.iteration})
 
     def load_restart(self, filename: str) -> None:
+        import numpy as _np
+
         from cmacionize_tpu.io.restart import RestartManager
 
         arrays, scalars = RestartManager.load(filename)
@@ -896,3 +904,10 @@ class MultiFreqIonizationSimulation:
         self.temperature = jnp.asarray(arrays["temperature"])
         self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
         self.iteration = int(scalars["iteration"])
+        if "tracker_counts" in arrays and self._cell_trackers is not None:
+            self._cell_trackers.counts = _np.asarray(
+                arrays["tracker_counts"], _np.float64)
+            self._cell_trackers.weighted = _np.asarray(
+                arrays["tracker_weighted"], _np.float64)
+            self._cell_trackers.lengths = _np.asarray(
+                arrays["tracker_lengths"], _np.float64)

@@ -301,6 +301,20 @@ def test_cell_trackers_reference_yaml_multifreq(tmp_path):
     assert text.startswith("# Ion")
     assert "H_n" in text or "ion0" in text
 
+    # restart round trip: tracker accumulators are stateful across
+    # iterations like every reference object with a restart hook
+    from cmacionize_tpu.io.restart import RestartManager
+
+    manager = RestartManager(str(tmp_path), interval_seconds=1e9)
+    checkpoint = sim.write_restart(manager)
+    sim2 = MultiFreqIonizationSimulation(config, seed=4)
+    trackers2 = CellTrackers.from_reference_yaml(
+        geometry, str(tracker_file), sim2.bin_edges)
+    sim2.attach_cell_trackers(trackers2)
+    sim2.load_restart(checkpoint)
+    np.testing.assert_array_equal(trackers2.counts, trackers.counts)
+    np.testing.assert_array_equal(trackers2.lengths, trackers.lengths)
+
 
 def test_live_output_manager_rhd_cadence(tmp_path):
     """LiveOutputManager writes numbered surface-density/PDF files on its
