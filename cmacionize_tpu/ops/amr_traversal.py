@@ -162,3 +162,139 @@ def trace_packets_octree(
 
     _, tally, packets = jax.lax.while_loop(cond, body, (0, tally, packets))
     return tally, packets
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("coarse_shape", "max_level", "n_bins", "max_steps"),
+)
+def trace_packets_octree_spectral(
+    root: jnp.ndarray,
+    children: jnp.ndarray,
+    chi_h_leaf: jnp.ndarray,
+    chi_he_leaf: jnp.ndarray,
+    packets,
+    tally2d: jnp.ndarray,
+    *,
+    coarse_shape: Tuple[int, int, int],
+    max_level: int,
+    n_bins: int,
+    max_steps: int = 0,
+):
+    """Spectral (multi-frequency) octree march: per-packet H/He cross
+    sections over per-leaf χ_H/χ_He fields, frequency-binned per-leaf
+    tallies (deposit row = fbin·C + leaf).
+
+    The deep-AMR counterpart of ops.traversal.trace_packets_spectral;
+    ``packets`` is a SpectralPacketBatch with positions in coarse cell
+    units.  Returns (tally2d [n_bins·C], packets).
+    """
+    from cmacionize_tpu.ops.traversal import SpectralPacketBatch
+
+    nx, ny, nz = coarse_shape
+    n_leaf = chi_h_leaf.shape[0]
+    if max_steps == 0:
+        max_steps = 4 * (nx + ny + nz) * (1 << max_level)
+    tiny = jnp.asarray(1e-30, chi_h_leaf.dtype)
+    eps = jnp.asarray(1e-3 * 2.0 ** (-max_level), jnp.float32)
+
+    def descend(px, py, pz):
+        ix = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, ny - 1)
+        iz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, nz - 1)
+        node = root[(ix * ny + iy) * nz + iz]
+        lo_x = ix.astype(px.dtype)
+        lo_y = iy.astype(px.dtype)
+        lo_z = iz.astype(px.dtype)
+        size = jnp.ones_like(px)
+        for _ in range(max_level):
+            internal = node >= 0
+            half = 0.5 * size
+            ox = px >= lo_x + half
+            oy = py >= lo_y + half
+            oz = pz >= lo_z + half
+            octant = (
+                ox.astype(jnp.int32) * 4
+                + oy.astype(jnp.int32) * 2
+                + oz.astype(jnp.int32)
+            )
+            child = children[jnp.maximum(node, 0), octant]
+            node = jnp.where(internal, child, node)
+            lo_x = jnp.where(internal & ox, lo_x + half, lo_x)
+            lo_y = jnp.where(internal & oy, lo_y + half, lo_y)
+            lo_z = jnp.where(internal & oz, lo_z + half, lo_z)
+            size = jnp.where(internal, half, size)
+        return -node - 1, lo_x, lo_y, lo_z, size
+
+    def wall_distance(pos, lo, size, dirn):
+        positive = dirn > 0.0
+        wall = jnp.where(positive, lo + size, lo)
+        safe = jnp.where(jnp.abs(dirn) > _EPS_DIR, dirn, _EPS_DIR)
+        t = (wall - pos) / safe
+        return jnp.where(
+            jnp.abs(dirn) > _EPS_DIR, jnp.maximum(t, 0.0), jnp.inf)
+
+    def cond(carry):
+        step, _, pk = carry
+        return jnp.logical_and(step < max_steps, jnp.any(pk.active))
+
+    def body(carry):
+        step, tly, pk = carry
+        leaf, lo_x, lo_y, lo_z, size = descend(
+            pk.px + eps * pk.dx, pk.py + eps * pk.dy, pk.pz + eps * pk.dz
+        )
+        tx = wall_distance(pk.px, lo_x, size, pk.dx)
+        ty = wall_distance(pk.py, lo_y, size, pk.dy)
+        tz = wall_distance(pk.pz, lo_z, size, pk.dz)
+        l_exit = jnp.minimum(tx, jnp.minimum(ty, tz))
+
+        chi = jnp.maximum(
+            chi_h_leaf[leaf] * pk.sig_h + chi_he_leaf[leaf] * pk.sig_he,
+            tiny,
+        )
+        tau_cell = chi * l_exit
+        absorbed_now = pk.active & (tau_cell >= pk.tau_left)
+        l_travel = jnp.where(absorbed_now, pk.tau_left / chi, l_exit)
+
+        deposit = jnp.where(pk.active, l_travel * pk.weight, 0.0)
+        tly = tly.at[pk.fbin * n_leaf + leaf].add(
+            deposit.astype(tly.dtype), mode="drop")
+
+        px = pk.px + pk.dx * l_travel
+        py = pk.py + pk.dy * l_travel
+        pz = pk.pz + pk.dz * l_travel
+        cross_x = pk.active & ~absorbed_now & (l_exit == tx)
+        cross_y = pk.active & ~absorbed_now & ~cross_x & (l_exit == ty)
+        cross_z = pk.active & ~absorbed_now & ~cross_x & ~cross_y
+        px = jnp.where(
+            cross_x, jnp.where(pk.dx > 0, lo_x + size, lo_x), px)
+        py = jnp.where(
+            cross_y, jnp.where(pk.dy > 0, lo_y + size, lo_y), py)
+        pz = jnp.where(
+            cross_z, jnp.where(pk.dz > 0, lo_z + size, lo_z), pz)
+
+        inside = (
+            (px + eps * pk.dx >= 0.0) & (px + eps * pk.dx < nx)
+            & (py + eps * pk.dy >= 0.0) & (py + eps * pk.dy < ny)
+            & (pz + eps * pk.dz >= 0.0) & (pz + eps * pk.dz < nz)
+        )
+        tau_left = jnp.where(absorbed_now, 0.0, pk.tau_left - tau_cell)
+        active = pk.active & ~absorbed_now & inside
+        absorbed = pk.absorbed | absorbed_now
+
+        upd = pk.active
+        px = jnp.where(upd, px, pk.px)
+        py = jnp.where(upd, py, pk.py)
+        pz = jnp.where(upd, pz, pk.pz)
+        tau_left = jnp.where(upd, tau_left, pk.tau_left)
+
+        pk = SpectralPacketBatch(
+            px, py, pz, pk.cx, pk.cy, pk.cz, pk.dx, pk.dy, pk.dz,
+            tau_left, pk.weight, pk.sig_h, pk.sig_he, pk.fbin,
+            active, absorbed,
+        )
+        return step + 1, tly, pk
+
+    _, tally2d, packets = jax.lax.while_loop(
+        cond, body, (0, tally2d, packets))
+    return tally2d, packets
