@@ -27,6 +27,20 @@ import jax.numpy as jnp
 from cmacionize_tpu.ops.traversal import PacketBatch, _EPS_DIR
 
 
+def _wall_eps(coarse_shape, max_level: int) -> float:
+    """Wall-identification nudge: below the finest leaf size, ABOVE the f32
+    ulp of packet coordinates.
+
+    The naive 1e-3·2^-max_level falls under the coordinate ulp
+    (~max(shape)·2^-23) for max_level ≳ 8, at which point ``px + eps·dx ==
+    px`` and the descent re-identifies the wall cell the packet just left —
+    packets stall on walls with l_exit = 0 until the step cap (round-4
+    advisor finding).  Floor the nudge at 8 coordinate ulps so the nudged
+    point always lands strictly inside the next leaf."""
+    ulp = max(coarse_shape) * 2.0 ** (-23)
+    return max(1e-3 * 2.0 ** (-max_level), 8.0 * ulp)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("coarse_shape", "max_level", "max_steps"),
@@ -60,9 +74,7 @@ def trace_packets_octree(
         # a leaf crossing advances ≥ one finest-lattice cell along an axis
         max_steps = 4 * (nx + ny + nz) * (1 << max_level)
     tiny = jnp.asarray(1e-30, chi_leaf.dtype)
-    # identification nudge: far below the finest leaf size, far above f32
-    # ulp at coordinates O(coarse_shape)
-    eps = jnp.asarray(1e-3 * 2.0 ** (-max_level), jnp.float32)
+    eps = jnp.asarray(_wall_eps(coarse_shape, max_level), jnp.float32)
 
     def descend(px, py, pz):
         """Leaf id + cell box for the point (px, py, pz)."""
@@ -196,7 +208,7 @@ def trace_packets_octree_spectral(
     if max_steps == 0:
         max_steps = 4 * (nx + ny + nz) * (1 << max_level)
     tiny = jnp.asarray(1e-30, chi_h_leaf.dtype)
-    eps = jnp.asarray(1e-3 * 2.0 ** (-max_level), jnp.float32)
+    eps = jnp.asarray(_wall_eps(coarse_shape, max_level), jnp.float32)
 
     def descend(px, py, pz):
         ix = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, nx - 1)

@@ -894,6 +894,87 @@ def trace_packets_blocked_adaptive(
     return tally, n_absorbed, n_escaped
 
 
+def trace_packets_cascade_exits(
+    opacity,
+    packets: PacketBatch,
+    tally,
+    *,
+    shape,
+    periodic=(False, False, False),
+    max_steps: int = 0,
+    shrink: int = 3,
+    n_stages: int = 4,
+):
+    """Cascade march that PRESERVES terminated-packet exit state.
+
+    The sharded slab exchange (parallel.domain) needs each terminated
+    packet's exit position/direction to route face-crossers to the neighbor
+    device — state :func:`trace_packets_blocked_cascade` discards.  This
+    variant marches in the same geometrically shrinking stages but returns
+    the concatenation of every stage's lane arrays plus a ``valid`` mask
+    marking lanes that TERMINATED in that stage: a packet terminating in
+    stage i appears exactly once as a valid lane (exit fields intact);
+    lanes still live at a stage boundary are carried (via the on-device
+    packed-sort compaction) into the next stage and their stale earlier
+    copies stay ``valid=False``.  Input-inactive lanes are never valid.
+
+    Falls back to the per-step march (state-preserving by construction)
+    when the shape has no divisible block.
+
+    Returns (tally, exits, valid, n_stuck): ``exits`` a PacketBatch of
+    width Σ stage widths (≈ 1.5·n at the default shrink), ``valid`` bool of
+    the same width, ``n_stuck`` packets still live when the step budget ran
+    out (callers surface it as truncation — the loud version of the
+    reference's implicit buffer caps, MemorySpace.hpp:96-120).
+    """
+    n = packets.size
+    if max_steps == 0:
+        nx, ny, nz = shape
+        max_steps = 4 * (nx + ny + nz)
+    block = default_block(shape)
+    if block is None:
+        tally, pk = trace_packets(
+            opacity, packets, tally, shape=shape, periodic=periodic,
+            max_steps=max_steps,
+        )
+        valid = packets.active & ~pk.active
+        n_stuck = jnp.sum(packets.active & pk.active, dtype=jnp.int32)
+        return tally, pk, valid, n_stuck
+    inner_steps = default_inner_steps(block)
+    widths = [n]
+    for _ in range(n_stages - 1):
+        w = widths[-1] // shrink
+        if w < 8192:
+            break
+        widths.append(w)
+    pk = packets
+    valid_in = pk.active
+    stage_pks, stage_valid = [], []
+    n_stuck = jnp.zeros((), jnp.int32)
+    for si, width in enumerate(widths):
+        next_width = widths[si + 1] if si + 1 < len(widths) else 0
+        tally, pk = trace_packets_blocked(
+            opacity, pk, tally, shape=shape, block=block, periodic=periodic,
+            max_steps=max_steps, inner_steps=inner_steps,
+            live_threshold=next_width,
+        )
+        stage_pks.append(pk)
+        stage_valid.append(valid_in & ~pk.active)
+        if next_width:
+            pk = _compact_live(pk, next_width)
+            valid_in = pk.active
+        else:
+            n_stuck = jnp.sum(valid_in & pk.active, dtype=jnp.int32)
+    if len(stage_pks) == 1:
+        return tally, stage_pks[0], stage_valid[0], n_stuck
+    exits = PacketBatch(*(
+        jnp.concatenate([getattr(p, f) for p in stage_pks])
+        for f in PacketBatch._fields
+    ))
+    valid = jnp.concatenate(stage_valid)
+    return tally, exits, valid, n_stuck
+
+
 def _compact_live(pk: PacketBatch, width: int):
     """Sort live packets to the front and keep the first ``width`` rows.
 

@@ -46,12 +46,18 @@ def _compact(fields, mask, capacity):
     n = mask.shape[0]
     iota = jax.lax.iota(jnp.uint32, n)
     key = ((~mask).astype(jnp.uint32) << 31) | iota
-    idx = (jax.lax.sort(key) & jnp.uint32(0x7FFFFFFF))[:capacity].astype(
+    k = min(capacity, n)
+    idx = (jax.lax.sort(key) & jnp.uint32(0x7FFFFFFF))[:k].astype(
         jnp.int32
     )
     count = jnp.sum(mask, dtype=jnp.int32)
     in_range = jnp.arange(capacity) < count
     out = tuple(f[idx] for f in fields)
+    if capacity > n:  # widen (e.g. copy-phase survivors into the carry)
+        out = tuple(
+            jnp.concatenate([f, jnp.zeros((capacity - n,), f.dtype)])
+            for f in out
+        )
     overflow = jnp.maximum(count - capacity, 0)
     return out, in_range, overflow
 
@@ -71,65 +77,172 @@ def _device_slab_mc_loop(
     capacity,
     max_supersteps,
 ):
-    """Device-level MC trace on an x-slab: emit a point-source batch, then
-    superstep (trace → compact crossers → ppermute exchange → merge) until
-    the global live count reaches zero.
+    """Device-level MC trace on an x-slab: source-replicated emission, then
+    superstep (cascade trace → compact crossers → ppermute exchange → merge)
+    until the global live count reaches zero.
 
     The exchange machinery of SURVEY §2.7 P4 shared by the ionization and
     RHD drivers.  Runs inside shard_map; ``my`` is the caller's axis index.
-    Returns (tally [n_cell_local], n_escaped, n_overflow, n_truncated).
+
+    Two round-5 upgrades over the v1 loop (VERDICT r4 ask #1a/b):
+
+    * **source-slab replication** — every device emits and traces its own
+      1/n_dev share of the emission through a psum-broadcast copy of the
+      source slab's opacity; the copy tallies are psum-reduced onto the
+      owner.  This is the slab form of the reference's subgrid-copy
+      machinery (create_copies / update_original_counters,
+      /root/reference/src/DensitySubGridCreator.hpp:437-556) and of
+      parallel.domain3d's copy phase: in the mostly-neutral RHD regime the
+      first leg absorbs ~all packets inside the source slab, which
+      previously serialized the whole radiation phase on one device.
+      Survivors re-enter the exchange with multi-hop pending routing (a
+      packet several slabs from its target keeps hopping, re-classified
+      after every merge).
+    * **width-compacting cascade march** — each superstep traces through
+      :func:`~cmacionize_tpu.ops.traversal.trace_packets_cascade_exits`
+      (exit-state-preserving cascade) instead of the full-width lockstep
+      march, so the survival-curve decay pays off inside the sharded loop
+      exactly as it does in the single-device RHD driver.
+
+    Returns (tally [n_cell_local], n_escaped, n_overflow, n_truncated,
+    n_traced) — the last a per-device traced-packet counter for load-skew
+    measurement (cf. the per-subgrid cost counters,
+    /root/reference/src/DensitySubGrid.hpp:1616-1634).
     """
     local_shape = (nx_loc, ny, nz)
     right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-    x_offset = (my * nx_loc).astype(jnp.float32)
     tally = jnp.zeros(chi.shape, chi.dtype)
+    W = n_photons  # fixed carry width (worst case: all packets on one slab)
+    ncell_loc = nx_loc * ny * nz
 
-    # emission: only the slab containing the source emits (point source)
-    src_dev = int(source_gpos[0]) // nx_loc
-    px, py, pz, dx, dy, dz, tau, _, weight = sources.emit_point_source(
-        key, n_photons, source_gpos
+    # ---- copy phase: every device traces its emission share through a
+    # replicated WINDOW of slabs around the source (psum broadcast of their
+    # opacity).  The window spans the source slab ± 1 neighbor (clamped) —
+    # the slab analog of the reference's copy rule "copies for the source
+    # subgrid AND its neighbors at level-1"
+    # (/root/reference/src/TaskBasedIonizationSimulation.cpp:514-556): a
+    # source sitting on a slab wall emits half its packets straight into
+    # the neighbor, which a single-slab copy would serialize right back
+    # onto one device.
+    src_dev = min(int(source_gpos[0]) // nx_loc, n_dev - 1)
+    win = min(3, n_dev)
+    w0 = min(max(src_dev - 1, 0), n_dev - win)
+    win_shape = (win * nx_loc, ny, nz)
+    src_win = (
+        source_gpos[0] - w0 * nx_loc, source_gpos[1], source_gpos[2]
     )
-    px = px - x_offset  # to local slab coordinates
-    is_mine = my == src_dev
-    active0 = jnp.broadcast_to(is_mine, weight.shape)
+    n_loc = max(n_photons // n_dev, 1)
+    # exact weight normalization when n_dev does not divide n_photons
+    wscale = n_photons / float(n_loc * n_dev)
+    slot = my - w0
+    in_win = (slot >= 0) & (slot < win)
+    contrib = jnp.zeros((win, ncell_loc), chi.dtype)
+    contrib = jnp.where(
+        in_win,
+        jax.lax.dynamic_update_index_in_dim(
+            contrib, chi, jnp.clip(slot, 0, win - 1), axis=0),
+        contrib,
+    )
+    chi_win = jax.lax.psum(contrib, axis).reshape(-1)
+    px, py, pz, dx, dy, dz, tau, _, weight = sources.emit_point_source(
+        key, n_loc, src_win
+    )
+    weight = weight * jnp.asarray(wscale, weight.dtype)
+    pk0 = traversal.make_packets(
+        jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
+        tau, weight, win_shape,
+    )
+    copy_tally = jnp.zeros_like(chi_win)
+    copy_tally, ex0, valid0, stuck0 = traversal.trace_packets_cascade_exits(
+        chi_win, pk0, copy_tally, shape=win_shape
+    )
+    # window owners absorb their slice of the psum of all copy tallies
+    # (update_original_counters, DensitySubGridCreator.hpp:556)
+    tally_win = jax.lax.psum(copy_tally, axis).reshape(win, ncell_loc)
+    tally = tally + jnp.where(
+        in_win,
+        jax.lax.dynamic_index_in_dim(
+            tally_win, jnp.clip(slot, 0, win - 1), axis=0, keepdims=False),
+        jnp.zeros_like(tally),
+    )
+    n_traced = jnp.asarray(n_loc, jnp.int32)
 
-    def trace_once(tally, px, py, pz, dx, dy, dz, tau, weight, active):
+    def classify(px, dxv):
+        # direction-aware slab membership: a packet exactly on a slab wall
+        # belongs to the cell it is about to enter
+        cell_eff = jnp.where(
+            dxv >= 0, jnp.floor(px), jnp.ceil(px) - 1.0
+        ).astype(jnp.int32)
+        return cell_eff, cell_eff >= 0, cell_eff < nx_loc
+
+    # classify copy-phase exits in the WINDOW frame, then shift into MY
+    # local frame for the pending machinery
+    yz_in0 = (
+        (ex0.cy >= 0) & (ex0.cy < ny) & (ex0.cz >= 0) & (ex0.cz < nz)
+    )
+    gx_cell0 = ex0.cx + w0 * nx_loc
+    fwd0 = (
+        valid0 & ~ex0.absorbed & yz_in0
+        & ((ex0.cx < 0) | (ex0.cx >= win * nx_loc))
+        & (gx_cell0 >= 0) & (gx_cell0 < n_dev * nx_loc)
+    )
+    esc0 = valid0 & ~ex0.absorbed & ~fwd0
+    n_esc = jnp.sum(esc0, dtype=jnp.int32)
+    px0 = ex0.px + (jnp.int32(w0) - my).astype(ex0.px.dtype) * nx_loc
+    fields0 = (
+        px0, ex0.py, ex0.pz, ex0.dx, ex0.dy, ex0.dz, ex0.tau_left, ex0.weight
+    )
+    fields0, mask0, ov0 = _compact(fields0, fwd0, W)
+    _, ge_lo0, lt_hi0 = classify(fields0[0], fields0[3])
+    active0 = mask0 & ge_lo0 & lt_hi0
+    pend_l0 = mask0 & ~ge_lo0
+    pend_r0 = mask0 & ~lt_hi0
+
+    def superstep(carry):
+        (step, tally, px, py, pz, dxv, dyv, dzv, tau, w, active,
+         pend_l, pend_r, n_esc, n_over, n_stuck, n_traced) = carry
         cx = jnp.floor(px).astype(jnp.int32)
         cy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, ny - 1)
         cz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, nz - 1)
         cx_in = jnp.clip(cx, 0, nx_loc - 1)
-        packets = traversal.PacketBatch(
-            px, py, pz, cx_in, cy, cz, dx, dy, dz, tau, weight,
+        pk_in = traversal.PacketBatch(
+            px, py, pz, cx_in, cy, cz, dxv, dyv, dzv, tau, w,
             active, jnp.zeros_like(active),
         )
-        return traversal.trace_packets_auto(
-            chi, packets, tally, shape=local_shape
+        tally, ex, valid, stuck = traversal.trace_packets_cascade_exits(
+            chi, pk_in, tally, shape=local_shape
         )
+        n_stuck = n_stuck + stuck
+        n_traced = n_traced + jnp.sum(active, dtype=jnp.int32)
 
-    def superstep(carry):
-        (step, tally, px, py, pz, dx, dy, dz, tau, weight, active,
-         n_esc, n_over) = carry
-        tally, pk = trace_once(
-            tally, px, py, pz, dx, dy, dz, tau, weight, active
-        )
-        # classify terminations: packets that left through a local x face
-        # continue on the neighbor (unless it is the domain boundary)
-        out_left = active & ~pk.absorbed & ~pk.active & (pk.cx < 0)
-        out_right = active & ~pk.absorbed & ~pk.active & (pk.cx >= nx_loc)
         at_lo = my == 0
         at_hi = my == n_dev - 1
-        go_left = out_left & ~at_lo
-        go_right = out_right & ~at_hi
-        escaped = (
-            active & ~pk.absorbed & ~pk.active & ~go_left & ~go_right
-        )
-        n_esc = n_esc + jnp.sum(escaped, dtype=jnp.int32)
+        yz_in = (ex.cy >= 0) & (ex.cy < ny) & (ex.cz >= 0) & (ex.cz < nz)
+        cross_l = valid & ~ex.absorbed & yz_in & (ex.cx < 0)
+        cross_r = valid & ~ex.absorbed & yz_in & (ex.cx >= nx_loc)
+        go_l_t = cross_l & ~at_lo
+        go_r_t = cross_r & ~at_hi
+        esc_t = valid & ~ex.absorbed & ~go_l_t & ~go_r_t
+        # pending lanes pass through untraced; a pending lane pointing off
+        # the domain edge has escaped (its target cell is outside the box)
+        go_l_p = pend_l & ~at_lo
+        go_r_p = pend_r & ~at_hi
+        esc_p = (pend_l & at_lo) | (pend_r & at_hi)
+        n_esc = n_esc + jnp.sum(esc_t, dtype=jnp.int32) + jnp.sum(
+            esc_p, dtype=jnp.int32)
 
-        fields = (pk.px, pk.py, pk.pz, pk.dx, pk.dy, pk.dz, pk.tau_left,
-                  pk.weight)
-        send_l, mask_l, ov_l = _compact(fields, go_left, capacity)
-        send_r, mask_r, ov_r = _compact(fields, go_right, capacity)
+        exch = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(
+                (ex.px, ex.py, ex.pz, ex.dx, ex.dy, ex.dz, ex.tau_left,
+                 ex.weight),
+                (px, py, pz, dxv, dyv, dzv, tau, w),
+            )
+        )
+        go_l = jnp.concatenate([go_l_t, go_l_p])
+        go_r = jnp.concatenate([go_r_t, go_r_p])
+        send_l, mask_l, ov_l = _compact(exch, go_l, capacity)
+        send_r, mask_r, ov_r = _compact(exch, go_r, capacity)
         n_over = n_over + ov_l + ov_r
         # shift local x coordinate into the receiver's frame
         send_l = (send_l[0] + nx_loc,) + send_l[1:]
@@ -146,7 +259,7 @@ def _device_slab_mc_loop(
         merged_mask = jnp.concatenate([recv_r[-1], recv_l[-1]])
         # restore the fixed carry width (only the exchange buffers are
         # narrow — they are what rides the interconnect)
-        pad = n_photons - merged[0].shape[0]
+        pad = W - merged[0].shape[0]
         if pad > 0:
             merged = tuple(
                 jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
@@ -155,33 +268,41 @@ def _device_slab_mc_loop(
             merged_mask = jnp.concatenate(
                 [merged_mask, jnp.zeros((pad,), bool)]
             )
-            px, py, pz, dx, dy, dz, tau, weight = merged
-            active = merged_mask
         else:
-            (px, py, pz, dx, dy, dz, tau, weight), active, ov_m = _compact(
-                merged, merged_mask, n_photons
-            )
+            merged, merged_mask, ov_m = _compact(merged, merged_mask, W)
             n_over = n_over + ov_m
+        (px, py, pz, dxv, dyv, dzv, tau, w) = merged
+        # multi-hop routing: a packet emitted several slabs away keeps
+        # hopping — re-classify everything received against this slab
+        _, ge_lo, lt_hi = classify(px, dxv)
+        active = merged_mask & ge_lo & lt_hi
+        pend_l = merged_mask & ~ge_lo
+        pend_r = merged_mask & ~lt_hi
         return (
-            step + 1, tally, px, py, pz, dx, dy, dz, tau, weight, active,
-            n_esc, n_over,
+            step + 1, tally, px, py, pz, dxv, dyv, dzv, tau, w, active,
+            pend_l, pend_r, n_esc, n_over, n_stuck, n_traced,
         )
 
     def cond(carry):
-        step, active = carry[0], carry[10]
-        n_live = jax.lax.psum(jnp.sum(active), axis)
+        step = carry[0]
+        active, pend_l, pend_r = carry[10], carry[11], carry[12]
+        n_live = jax.lax.psum(
+            jnp.sum(active | pend_l | pend_r, dtype=jnp.int32), axis
+        )
         return jnp.logical_and(step < max_supersteps, n_live > 0)
 
     carry = (
-        0, tally, px, py, pz, dx, dy, dz, tau, weight, active0,
-        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+        0, tally, *fields0, active0, pend_l0, pend_r0,
+        n_esc, ov0, stuck0, n_traced,
     )
     carry = jax.lax.while_loop(cond, superstep, carry)
-    tally, active_end, n_esc, n_over = (
-        carry[1], carry[10], carry[11], carry[12]
+    tally, n_esc, n_over, n_stuck, n_traced = (
+        carry[1], carry[13], carry[14], carry[15], carry[16]
     )
-    truncated = jnp.sum(active_end, dtype=jnp.int32)
-    return tally, n_esc, n_over, truncated
+    truncated = n_stuck + jnp.sum(
+        carry[10] | carry[11] | carry[12], dtype=jnp.int32
+    )
+    return tally, n_esc, n_over, truncated, n_traced
 
 
 def make_domain_mc_iteration(
@@ -233,7 +354,7 @@ def make_domain_mc_iteration(
         my = jax.lax.axis_index(axis)
         key = keys[0]
         chi = (number_density * neutral_fraction * sigma_dx).reshape(-1)
-        tally, n_esc, n_over, truncated = _device_slab_mc_loop(
+        tally, n_esc, n_over, truncated, n_traced = _device_slab_mc_loop(
             key, chi, my=my, axis=axis, n_dev=n_dev, nx_loc=nx_loc,
             ny=ny, nz=nz, n_photons=n_photons, source_gpos=source_gpos,
             capacity=capacity, max_supersteps=max_supersteps,
@@ -244,6 +365,7 @@ def make_domain_mc_iteration(
             "n_escaped": jax.lax.psum(n_esc, axis),
             "buffer_overflow": jax.lax.psum(n_over, axis),
             "truncated_live": jax.lax.psum(truncated, axis),
+            "packets_traced": n_traced.reshape(1),
         }
         return new_x, jH, diagnostics
 
@@ -251,7 +373,13 @@ def make_domain_mc_iteration(
         device_iteration,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P()),
+        out_specs=(
+            P(axis), P(axis),
+            {
+                "n_escaped": P(), "buffer_overflow": P(),
+                "truncated_live": P(), "packets_traced": P(axis),
+            },
+        ),
         check_vma=False,
     )
     shardings = {
@@ -621,6 +749,8 @@ def _device_hydro_body(
     riemann_solver: str = "HLLC",
     gravity=None,
     isothermal_sound_speed=None,
+    inflow_x=None,
+    inflow_yz=None,
 ):
     """Device-level MUSCL-Hancock step on an x-slab: 2-cell primitive halo
     exchange over ICI + the whole-array padded update.  Shared by
@@ -628,6 +758,12 @@ def _device_hydro_body(
 
     ``isothermal_sound_speed``: γ == 1 mode — pressure re-pinned to c_s²ρ
     before and after the step (cf. ops.hydro.isothermal_hydro_step).
+    ``inflow_x``: {"lo"/"hi": 5-tuple of [2, ny, nz] ghost slabs} for
+    BC_INFLOW x edges (applied on the edge devices only — the Bondi
+    boundary, cf. BondiHydroBoundary.hpp).  ``inflow_yz``: {(1|2,
+    "lo"/"hi"): 5-tuple of LOCAL ghost slabs matching the x-halo-padded
+    field shape} — this device's x-slice of the global padded-lattice
+    ghost profile.
     """
     normal = {0: 1, 1: 2, 2: 3}
     if isothermal_sound_speed is not None:
@@ -638,18 +774,26 @@ def _device_hydro_body(
     fields = list(w)
     # sharded x-axis: halo exchange + edge BCs
     bc_x_lo, bc_x_hi = boundaries[0]
+    x_lo = inflow_x.get("lo") if inflow_x else None
+    x_hi = inflow_x.get("hi") if inflow_x else None
     for i, f in enumerate(fields):
         fields[i] = _halo_pad_axis0(
             f, axis, my, n_dev, bc_x_lo, bc_x_hi,
             flip_sign=(i == normal[0]),
+            inflow_lo=None if x_lo is None else x_lo[i],
+            inflow_hi=None if x_hi is None else x_hi[i],
         )
     # local y/z axes: ordinary BC padding
     for ax in (1, 2):
         bc_lo, bc_hi = boundaries[ax]
+        lo_t = inflow_yz.get((ax, "lo")) if inflow_yz else None
+        hi_t = inflow_yz.get((ax, "hi")) if inflow_yz else None
         for i, f in enumerate(fields):
             fields[i] = hydro_mod._pad_axis(
                 f, ax, bc_lo, bc_hi, n=2,
                 flip_sign=(i == normal[ax]),
+                inflow_lo=None if lo_t is None else lo_t[i],
+                inflow_hi=None if hi_t is None else hi_t[i],
             )
     wp = hydro_mod.Primitives(*fields)
     u = hydro_mod.hydro_step_padded(
@@ -749,21 +893,45 @@ def make_domain_rhd_step(
     axis: str = "x",
     capacity: int = 0,
     max_supersteps: int = 256,
+    extras_specs=None,
+    inflow_x=None,
+    chunk_len: int = 0,
 ):
     """Build the fused domain-decomposed RHD step (SURVEY §7 Phase 3+4; the
     distributed integration of radiation and hydro the reference designed in
     /root/reference/src/TaskBasedRadiationHydrodynamicsSimulation.cpp:1546-2122
     as one task graph).
 
-    One call = ``nloop`` MC ionization iterations with ppermute packet
-    exchange over the slab mesh, the two-temperature energy coupling, and a
-    halo-exchange MUSCL-Hancock hydro step — all inside a single shard_map,
-    so the whole RHD step is one XLA program with ICI collectives and no
-    host round trips.
+    One call = ``nloop`` MC ionization iterations with source-replicated
+    emission + ppermute packet exchange over the slab mesh, the
+    two-temperature energy coupling, and a halo-exchange MUSCL-Hancock
+    hydro step — all inside a single shard_map, so the whole RHD step is
+    one XLA program with ICI collectives and no host round trips.
 
     ``coupling``: kwargs for ops.hydro.two_temperature_coupling (minus
-    gamma).  Returns (step_fn, shardings): step_fn(keys, u, xh, dt) →
-    (u, xh, diagnostics); u/xh sharded P(axis), keys a [n_dev] key array.
+    gamma).  ``extras_specs``: pytree of PartitionSpecs for the optional
+    per-call physics inputs dict (the extended envelope — cf. the
+    reference's all-in-one RHD task graph):
+
+    - ``"gravity"``: 3-tuple of [nx, ny, nz] acceleration fields
+      (ExternalPotential / precomputed, sharded on x)
+    - ``"mask"`` + ``"mask_state"``: HydroMask freeze regions (bool field +
+      held HydroState, sharded on x)
+    - ``"inflow_yz"``: {(1|2, "lo"/"hi"): 5-tuple of stacked per-device
+      ghost slabs [n_dev, nx_loc+4, ...]} for y/z BC_INFLOW profiles
+
+    ``inflow_x``: {"lo"/"hi": 5-tuple of [2, ny, nz] ghost slabs} closure
+    constants for x-edge BC_INFLOW (identical on every device; applied on
+    the edge devices only).
+
+    ``chunk_len`` > 0 builds the scan-fused variant: one dispatch advances
+    ``chunk_len`` steps at fixed dt inside the shard_map (the sharded
+    equivalent of RHDSimulation._run_fused_chunks — one XLA program, no
+    per-step host round trips), with the per-step diagnostics summed.
+
+    Returns (step_fn, shardings): step_fn(keys, u, xh, extras, dt) →
+    (u, xh, diagnostics); u/xh sharded P(axis), keys a [n_dev] key array,
+    extras a dict matching ``extras_specs`` ({} when None).
     """
     n_dev = mesh.shape[axis]
     nx, ny, nz = global_shape
@@ -779,18 +947,18 @@ def make_domain_rhd_step(
     capacity = min(capacity, n_photons)
     from cmacionize_tpu import constants
 
-    def device_step(keys, u, xh, dt):
+    def device_step_body(key, u, xh, extras, dt):
         my = jax.lax.axis_index(axis)
-        key = keys[0]
         n_esc = jnp.asarray(0, jnp.int32)
         n_over = jnp.asarray(0, jnp.int32)
         n_trunc = jnp.asarray(0, jnp.int32)
+        n_traced = jnp.asarray(0, jnp.int32)
         if nloop > 0:
             number_density = u.rho / constants.PROTON_MASS
             for _ in range(nloop):
                 key, sub = jax.random.split(key)
                 chi = (number_density * xh * sigma_dx).reshape(-1)
-                tally, esc, over, trunc = _device_slab_mc_loop(
+                tally, esc, over, trunc, traced = _device_slab_mc_loop(
                     sub, chi, my=my, axis=axis, n_dev=n_dev, nx_loc=nx_loc,
                     ny=ny, nz=nz, n_photons=n_photons,
                     source_gpos=source_gpos, capacity=capacity,
@@ -799,26 +967,68 @@ def make_domain_rhd_step(
                 jH = tally.reshape(local_shape) * jfac_scale
                 xh = ionization.hydrogen_neutral_fraction(
                     jH, number_density, alpha)
-                n_esc, n_over, n_trunc = (
-                    n_esc + esc, n_over + over, n_trunc + trunc)
+                n_esc, n_over, n_trunc, n_traced = (
+                    n_esc + esc, n_over + over, n_trunc + trunc,
+                    n_traced + traced)
             u = hydro_mod.two_temperature_coupling(
                 u, xh, gamma=gamma, **coupling)
         if cooling:
             from cmacionize_tpu.ops import derijcke
 
             u = derijcke.cooling_substep(u, dt, gamma)
+        inflow_yz = None
+        if "inflow_yz" in extras:
+            # stacked per-device slabs → this device's local slice
+            inflow_yz = {
+                k: tuple(f[0] for f in v)
+                for k, v in extras["inflow_yz"].items()
+            }
         u = _device_hydro_body(
             u, dt, my=my, axis=axis, n_dev=n_dev, boundaries=boundaries,
             cell_size=cell_size, gamma=gamma, riemann_solver=riemann_solver,
             isothermal_sound_speed=isothermal_sound_speed,
+            gravity=extras.get("gravity"),
+            inflow_x=inflow_x, inflow_yz=inflow_yz,
         )
+        if "mask" in extras:
+            u = hydro_mod.apply_hydro_mask(
+                u, extras["mask"], extras["mask_state"])
         diagnostics = {
             "n_escaped": jax.lax.psum(n_esc, axis),
             "buffer_overflow": jax.lax.psum(n_over, axis),
             "truncated_live": jax.lax.psum(n_trunc, axis),
+            "packets_traced": n_traced.reshape(1),
         }
-        return u, xh, diagnostics
+        return key, u, xh, diagnostics
 
+    if chunk_len > 0:
+        def device_step(keys, u, xh, extras, dt):
+            key = keys[0]
+            diag0 = {
+                "n_escaped": jnp.zeros((), jnp.int32),
+                "buffer_overflow": jnp.zeros((), jnp.int32),
+                "truncated_live": jnp.zeros((), jnp.int32),
+                "packets_traced": jnp.zeros((1,), jnp.int32),
+            }
+
+            def body(carry, _):
+                key, u, xh, diag_acc = carry
+                key, sub = jax.random.split(key)
+                _, u, xh, diag = device_step_body(sub, u, xh, extras, dt)
+                diag_acc = jax.tree.map(
+                    lambda a, b: a + b, diag_acc, diag)
+                return (key, u, xh, diag_acc), None
+
+            (key, u, xh, diag), _ = jax.lax.scan(
+                body, (key, u, xh, diag0), None, length=chunk_len)
+            return u, xh, diag
+    else:
+        def device_step(keys, u, xh, extras, dt):
+            _, u, xh, diag = device_step_body(keys[0], u, xh, extras, dt)
+            return u, xh, diag
+
+    if extras_specs is None:
+        extras_specs = {}
     sharded = shard_map(
         device_step,
         mesh=mesh,
@@ -826,12 +1036,16 @@ def make_domain_rhd_step(
             P(axis),
             hydro_mod.HydroState(*([P(axis)] * 5)),
             P(axis),
+            extras_specs,
             P(),
         ),
         out_specs=(
             hydro_mod.HydroState(*([P(axis)] * 5)),
             P(axis),
-            P(),
+            {
+                "n_escaped": P(), "buffer_overflow": P(),
+                "truncated_live": P(), "packets_traced": P(axis),
+            },
         ),
         check_vma=False,
     )

