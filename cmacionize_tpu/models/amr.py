@@ -575,8 +575,41 @@ def trace_amr_spectral(
     the identical multi-ion tallying on AMR through its grid iterator
     (/root/reference/src/AMRDensityGrid.hpp:44-808 plugging into
     IonizationSimulation).
+
+    Deep hierarchies (``grid.owner is None`` — no affordable dense finest
+    lattice) march the flattened octree directly
+    (ops.amr_traversal.trace_packets_octree_spectral): O(leaves) memory at
+    any depth, same estimator.  Packet positions stay in finest-lattice
+    units at this API boundary (converted to/from coarse units around the
+    octree kernel).
     """
     from cmacionize_tpu.ops import traversal
+
+    if grid.owner is None:
+        from cmacionize_tpu.ops import amr_traversal
+
+        root, children = grid.octree()
+        dx_coarse = float(grid.geometry.cell_size[0])
+        scale = 2.0 ** (-grid.max_level)  # finest units → coarse units
+        pk_in = packets._replace(
+            px=packets.px * scale,
+            py=packets.py * scale,
+            pz=packets.pz * scale,
+        )
+        tally2d = jnp.zeros((n_bins * grid.n_cells,), jnp.float32)
+        tally2d, pk = amr_traversal.trace_packets_octree_spectral(
+            jnp.asarray(root), jnp.asarray(children),
+            jnp.asarray(chi_h_si, jnp.float32) * dx_coarse,
+            jnp.asarray(chi_he_si, jnp.float32) * dx_coarse,
+            pk_in, tally2d,
+            coarse_shape=tuple(grid.geometry.shape),
+            max_level=grid.max_level, n_bins=n_bins, max_steps=max_steps,
+        )
+        pk = pk._replace(
+            px=pk.px / scale, py=pk.py / scale, pz=pk.pz / scale)
+        return (
+            tally2d.reshape(n_bins, grid.n_cells) * dx_coarse, pk
+        )
 
     fine_shape = grid.fine_shape
     ncell_fine = fine_shape[0] * fine_shape[1] * fine_shape[2]
@@ -705,19 +738,40 @@ class MultiFreqAMRSimulation:
                 grid, chi_h, chi_he, packets, n_bins=self.n_bins)
 
             if self.diffuse_field:
-                # per-packet re-emission generations on the fine lattice
-                xH_f = grid.expand(xH).reshape(-1)
-                xHe_f = grid.expand(xHe).reshape(-1)
-                T_f = grid.expand(
-                    self.temperature.astype(jnp.float32)).reshape(-1)
-                nyz = fine_shape[1] * fine_shape[2]
+                # per-packet re-emission generations; absorption-site state
+                # looked up on the fine lattice (shallow grids) or by
+                # octree descent per packet (deep grids, owner=None)
+                deep = grid.owner is None
+                if deep:
+                    from cmacionize_tpu.ops import amr_traversal
+
+                    root_j, children_j = (
+                        jnp.asarray(a) for a in grid.octree())
+                    scale = 2.0 ** (-grid.max_level)
+                    T_l = self.temperature.astype(jnp.float32)
+                else:
+                    xH_f = grid.expand(xH).reshape(-1)
+                    xHe_f = grid.expand(xHe).reshape(-1)
+                    T_f = grid.expand(
+                        self.temperature.astype(jnp.float32)).reshape(-1)
                 for gen in range(self.n_reemission_rounds):
                     kl, kr, kd, kt = jax.random.split(kl, 4)
-                    flat = (pk.cx * fine_shape[1] + pk.cy) * fine_shape[2] + pk.cz
-                    flat = jnp.clip(flat, 0, xH_f.shape[0] - 1)
+                    if deep:
+                        leaf = amr_traversal.leaf_of_positions(
+                            root_j, children_j,
+                            pk.px * scale, pk.py * scale, pk.pz * scale,
+                            coarse_shape=tuple(grid.geometry.shape),
+                            max_level=grid.max_level)
+                        xH_at, xHe_at, T_at = xH[leaf], xHe[leaf], T_l[leaf]
+                    else:
+                        flat = (
+                            pk.cx * fine_shape[1] + pk.cy
+                        ) * fine_shape[2] + pk.cz
+                        flat = jnp.clip(flat, 0, xH_f.shape[0] - 1)
+                        xH_at, xHe_at, T_at = xH_f[flat], xHe_f[flat], T_f[flat]
                     remask, new_freq, _hch = reemission_mod.reemit_batch(
                         kr, self.spectra, pk.absorbed, pk.sig_h, pk.sig_he,
-                        xH_f[flat], xHe_f[flat], T_f[flat], AHe)
+                        xH_at, xHe_at, T_at, AHe)
                     ndx, ndy, ndz = sources.isotropic_directions(kd, pk.size)
                     ntau = sources.sample_tau_targets(kt, pk.size)
                     nbin = jnp.clip(

@@ -177,6 +177,54 @@ def trace_packets_octree(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("coarse_shape", "max_level")
+)
+def leaf_of_positions(
+    root: jnp.ndarray,
+    children: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    pz: jnp.ndarray,
+    *,
+    coarse_shape: Tuple[int, int, int],
+    max_level: int,
+):
+    """Batched octree descent: leaf id for each point (coarse cell units).
+
+    Used by the deep-AMR diffuse-reemission path to look up per-leaf state
+    at packet absorption sites without a dense finest lattice (the
+    reference walks AMRGridCell pointers for the same lookup,
+    /root/reference/src/AMRGridCell.hpp)."""
+    nx, ny, nz = coarse_shape
+    ix = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, ny - 1)
+    iz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, nz - 1)
+    node = root[(ix * ny + iy) * nz + iz]
+    lo_x = ix.astype(px.dtype)
+    lo_y = iy.astype(px.dtype)
+    lo_z = iz.astype(px.dtype)
+    size = jnp.ones_like(px)
+    for _ in range(max_level):
+        internal = node >= 0
+        half = 0.5 * size
+        ox = px >= lo_x + half
+        oy = py >= lo_y + half
+        oz = pz >= lo_z + half
+        octant = (
+            ox.astype(jnp.int32) * 4
+            + oy.astype(jnp.int32) * 2
+            + oz.astype(jnp.int32)
+        )
+        child = children[jnp.maximum(node, 0), octant]
+        node = jnp.where(internal, child, node)
+        lo_x = jnp.where(internal & ox, lo_x + half, lo_x)
+        lo_y = jnp.where(internal & oy, lo_y + half, lo_y)
+        lo_z = jnp.where(internal & oz, lo_z + half, lo_z)
+        size = jnp.where(internal, half, size)
+    return -node - 1
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("coarse_shape", "max_level", "n_bins", "max_steps"),
 )
