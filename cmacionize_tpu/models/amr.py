@@ -467,6 +467,41 @@ def build_amr_grid(
     )
 
 
+def rebuild_amr_grid_from_coords(
+    geometry: GridGeometry,
+    max_level: int,
+    refined_coords,
+    density_fn,
+    fractions_fn=None,
+) -> AMRGrid:
+    """Rebuild the EXACT hierarchy recorded in per-level refined-cell
+    coordinate lists (the restart path: the coordinate lists are the
+    complete tree record, cf. the reference's AMRGrid restart
+    serialization).  Deterministic: the replay scheme refines precisely the
+    recorded cells, so leaves/owner/octree tables come out identical."""
+    refined_sets = [
+        {tuple(c) for c in np.asarray(coords).reshape(-1, 3)}
+        for coords in refined_coords
+    ]
+
+    class _Replay:
+        def refine(self, level, centers, volume, nd, fractions):
+            if level >= len(refined_sets) or not refined_sets[level]:
+                return np.zeros(len(centers), bool)
+            size = np.asarray(geometry.cell_size) / (2 ** level)
+            coords = np.floor(
+                (centers - np.asarray(geometry.anchor)) / size
+            ).astype(np.int64)
+            want = refined_sets[level]
+            return np.fromiter(
+                (tuple(c) in want for c in coords), bool, len(coords))
+
+    return build_amr_grid(
+        geometry, _Replay(), density_fn, max_level=max_level,
+        fractions_fn=fractions_fn,
+    )
+
+
 def resample_leaf_values(
     old: AMRGrid, new: AMRGrid, values: jnp.ndarray
 ) -> jnp.ndarray:
@@ -693,6 +728,46 @@ class MultiFreqAMRSimulation:
             name: jnp.full(C, 1e-6, jnp.float64)
             for name in _ions.ION_NAMES
         }
+        self.iteration = 0
+
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        arrays = {
+            "temperature": self.temperature,
+            "rng_key": jax.random.key_data(self.key),
+        }
+        for name, val in self.xion.items():
+            arrays[f"xion_{name}"] = val
+        for lvl, coords in enumerate(self.grid.refined_coords):
+            arrays[f"refined_coords_{lvl}"] = np.asarray(coords, np.int64)
+        return manager.write(arrays, {
+            "iteration": self.iteration,
+            "n_refined_levels": len(self.grid.refined_coords),
+        })
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+        from cmacionize_tpu.models import ions as _ions
+
+        arrays, scalars = RestartManager.load(filename)
+        n_levels = int(scalars["n_refined_levels"])
+        refined = tuple(
+            np.asarray(arrays[f"refined_coords_{lvl}"], np.int64)
+            for lvl in range(n_levels)
+        )
+        self.grid = rebuild_amr_grid_from_coords(
+            self.grid.geometry, self.grid.max_level, refined,
+            self.density_fn)
+        self.number_density = jnp.asarray(
+            self.density_fn(self.grid.centers), jnp.float64)
+        self.temperature = jnp.asarray(arrays["temperature"], jnp.float64)
+        self.xion = {
+            name: jnp.asarray(arrays[f"xion_{name}"], jnp.float64)
+            for name in _ions.ION_NAMES
+        }
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.iteration = int(scalars["iteration"])
 
     def run(self, n_iterations: int):
         from cmacionize_tpu import constants
@@ -810,11 +885,12 @@ class MultiFreqAMRSimulation:
                  integrals[ions.NUMBER_OF_IONS + 1] * hfac)
             nd = jax.device_put(
                 jax.device_get(self.number_density), cpu)
-            do_temp = self.do_temperature and it >= 3
+            do_temp = self.do_temperature and self.iteration >= 3
             self.temperature, self.xion = solve_cell_state(
                 j, h, nd,
                 jax.device_put(jax.device_get(self.temperature), cpu),
                 self.abundances, do_temp)
+            self.iteration += 1
         return self.xion, self.temperature
 
 
@@ -867,6 +943,43 @@ class AMRIonizationSimulation:
         self.neutral_fraction = jnp.full(
             self.grid.n_cells, initial_neutral_fraction, jnp.float32
         )
+        self.iteration = 0
+
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        """Checkpoint the full driver state (cf. the reference's per-object
+        write_restart_file chain, /root/reference/src/RestartManager.hpp:
+        108-122 + AMRDensityGrid restart): the hierarchy is recorded as the
+        per-level refined-cell coordinate lists, from which the exact tree
+        (and owner map / octree tables) is rebuilt deterministically."""
+        arrays = {
+            "neutral_fraction": self.neutral_fraction,
+            "rng_key": jax.random.key_data(self.key),
+        }
+        for lvl, coords in enumerate(self.grid.refined_coords):
+            arrays[f"refined_coords_{lvl}"] = np.asarray(coords, np.int64)
+        return manager.write(arrays, {
+            "iteration": self.iteration,
+            "n_refined_levels": len(self.grid.refined_coords),
+        })
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+
+        arrays, scalars = RestartManager.load(filename)
+        n_levels = int(scalars["n_refined_levels"])
+        refined = tuple(
+            np.asarray(arrays[f"refined_coords_{lvl}"], np.int64)
+            for lvl in range(n_levels)
+        )
+        self.grid = rebuild_amr_grid_from_coords(
+            self.geometry, self.max_level, refined, self.density_fn)
+        self.number_density = jnp.asarray(
+            self.density_fn(self.grid.centers), jnp.float32)
+        self.neutral_fraction = jnp.asarray(arrays["neutral_fraction"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.iteration = int(scalars["iteration"])
 
     def _rebuild(self):
         """Re-refine with the current state feeding the criterion."""
@@ -892,11 +1005,19 @@ class AMRIonizationSimulation:
             self.density_fn(new.centers), jnp.float32
         )
 
-    def run(self, n_iterations: int):
+    def run(self, n_iterations: int, restart_manager=None):
+        """Run ``n_iterations`` MORE iterations (``self.iteration`` keeps
+        the global count across resumes, so the regrid cadence survives a
+        restart).  ``restart_manager``: optional io.restart.RestartManager
+        — wall-clock-cadence checkpoints + SIGINT graceful stop."""
         from cmacionize_tpu.models import sources
         from cmacionize_tpu.ops import ionization, traversal
+        from cmacionize_tpu.utils import signals
 
-        for it in range(n_iterations):
+        if restart_manager is not None:
+            signals.install()
+        for _ in range(n_iterations):
+            it = self.iteration
             if (
                 self.refinement_interval
                 and it > 0
@@ -932,6 +1053,16 @@ class AMRIonizationSimulation:
             self.neutral_fraction = ionization.hydrogen_neutral_fraction(
                 jH, self.number_density, self.alpha
             )
+            self.iteration += 1
+            if restart_manager is not None:
+                stopping = (
+                    signals.stop_requested() or restart_manager.want_stop()
+                )
+                if restart_manager.due() or stopping:
+                    self.write_restart(restart_manager)
+                if stopping:
+                    restart_manager.on_stop()
+                    break
         return self.neutral_fraction
 
     def ionized_volume(self) -> float:

@@ -209,6 +209,25 @@ def build_voronoi_grid(
     return grid_data
 
 
+def rebuild_voronoi_grid(geometry: GridGeometry, generators) -> VoronoiGrid:
+    """Re-tessellate from STORED box-unit generator positions (the restart
+    path — generator positions are the complete record of a Voronoi grid;
+    the reference restarts VoronoiDensityGrid the same way, via its
+    generator distribution state).  Deterministic: Qhull on identical
+    inputs reproduces the identical cell tables."""
+    sides = np.asarray(geometry.sides, np.float64)
+    scale = float(sides.max())
+    box = sides / scale
+    pts = np.asarray(generators, np.float64)
+    margin = None
+    if len(pts) > 4000:
+        margin = min(0.45, 8.0 * len(pts) ** (-1.0 / 3.0))
+    try:
+        return _tessellate(geometry, pts, box, scale, margin=margin)
+    except AssertionError:
+        return _tessellate(geometry, pts, box, scale, margin=None)
+
+
 def _polygon_area(verts: np.ndarray) -> float:
     """Area of a planar convex polygon given its (unordered) 3D vertices."""
     if len(verts) < 3:
@@ -666,6 +685,39 @@ class MultiFreqVoronoiSimulation:
             name: jnp.full(C, 1e-6, jnp.float64)
             for name in ions.ION_NAMES
         }
+        self.iteration = 0
+        self._density_fn = density_fn
+
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        arrays = {
+            "generators": np.asarray(self.grid.generators),
+            "temperature": self.temperature,
+            "rng_key": jax.random.key_data(self.key),
+        }
+        for name, val in self.xion.items():
+            arrays[f"xion_{name}"] = val
+        return manager.write(arrays, {"iteration": self.iteration})
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+        from cmacionize_tpu.models import ions
+
+        arrays, scalars = RestartManager.load(filename)
+        self.grid = rebuild_voronoi_grid(
+            self.grid.geometry, np.asarray(arrays["generators"]))
+        gen_si = (self.grid.generators * self.grid.scale
+                  + np.asarray(self.grid.geometry.anchor))
+        self.number_density = jnp.asarray(
+            self._density_fn(gen_si), jnp.float64)
+        self.temperature = jnp.asarray(arrays["temperature"], jnp.float64)
+        self.xion = {
+            name: jnp.asarray(arrays[f"xion_{name}"], jnp.float64)
+            for name in ions.ION_NAMES
+        }
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.iteration = int(scalars["iteration"])
 
     def run(self, n_iterations: int):
         from cmacionize_tpu import constants
@@ -758,11 +810,12 @@ class MultiFreqVoronoiSimulation:
             h = (integrals[ions.NUMBER_OF_IONS] * hfac,
                  integrals[ions.NUMBER_OF_IONS + 1] * hfac)
             nd = jax.device_put(jax.device_get(self.number_density), cpu)
-            do_temp = self.do_temperature and it >= 3
+            do_temp = self.do_temperature and self.iteration >= 3
             self.temperature, self.xion = solve_cell_state(
                 j, h, nd,
                 jax.device_put(jax.device_get(self.temperature), cpu),
                 self.abundances, do_temp)
+            self.iteration += 1
         return self.xion, self.temperature
 
 
@@ -804,10 +857,40 @@ class HOnlyVoronoiSimulation:
         self.alpha = recombination_rate
         self.n_photons = n_photons
         self.key = jax.random.PRNGKey(seed)
+        self.iteration = 0
+        self._density_fn = density_fn
 
-    def run(self, n_iterations: int):
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        """Checkpoint: generator positions (the full grid record) + cell
+        state + RNG chain (cf. /root/reference/src/RestartManager.hpp)."""
+        return manager.write({
+            "generators": np.asarray(self.grid.generators),
+            "neutral_fraction": self.neutral_fraction,
+            "rng_key": jax.random.key_data(self.key),
+        }, {"iteration": self.iteration})
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+
+        arrays, scalars = RestartManager.load(filename)
+        self.grid = rebuild_voronoi_grid(
+            self.grid.geometry, np.asarray(arrays["generators"]))
+        gen_si = (self.grid.generators * self.grid.scale
+                  + np.asarray(self.grid.geometry.anchor))
+        self.number_density = jnp.asarray(
+            self._density_fn(gen_si), jnp.float32)
+        self.neutral_fraction = jnp.asarray(arrays["neutral_fraction"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.iteration = int(scalars["iteration"])
+
+    def run(self, n_iterations: int, restart_manager=None):
         from cmacionize_tpu.ops import ionization
+        from cmacionize_tpu.utils import signals
 
+        if restart_manager is not None:
+            signals.install()
         grid = self.grid
         src_u = ((np.asarray(self.source_position)
                   - np.asarray(grid.geometry.anchor)) / grid.scale)
@@ -838,6 +921,16 @@ class HOnlyVoronoiSimulation:
             jH = tally * jfac
             self.neutral_fraction = ionization.hydrogen_neutral_fraction(
                 jH, self.number_density, self.alpha)
+            self.iteration += 1
+            if restart_manager is not None:
+                stopping = (
+                    signals.stop_requested() or restart_manager.want_stop()
+                )
+                if restart_manager.due() or stopping:
+                    self.write_restart(restart_manager)
+                if stopping:
+                    restart_manager.on_stop()
+                    break
         return self.neutral_fraction
 
     def ionized_volume(self) -> float:

@@ -525,6 +525,42 @@ class VoronoiRHDSimulation:
         self.neutral_fraction = jnp.ones(C, jnp.float32)
         self.time = 0.0
 
+    # -------------------------------------------------------------- restart
+
+    def write_restart(self, manager) -> str:
+        """Checkpoint generator positions (the tessellation record — the
+        moving mesh makes them live state), the extensive conserved state,
+        the ionization state and the RNG chain (cf. DensityGrid restart,
+        /root/reference/src/RestartManager.hpp:108-122)."""
+        return manager.write({
+            "generators": np.asarray(self.grid.generators),
+            "rho": self.state.rho,
+            "mom_x": self.state.mom_x,
+            "mom_y": self.state.mom_y,
+            "mom_z": self.state.mom_z,
+            "energy": self.state.energy,
+            "neutral_fraction": self.neutral_fraction,
+            "rng_key": jax.random.key_data(self.key),
+        }, {"time": self.time})
+
+    def load_restart(self, filename: str) -> None:
+        from cmacionize_tpu.io.restart import RestartManager
+        from cmacionize_tpu.models.voronoi import rebuild_voronoi_grid
+
+        arrays, scalars = RestartManager.load(filename)
+        self.grid = rebuild_voronoi_grid(
+            self.grid.geometry, np.asarray(arrays["generators"]))
+        self.state = VoronoiHydroState(
+            rho=jnp.asarray(arrays["rho"]),
+            mom_x=jnp.asarray(arrays["mom_x"]),
+            mom_y=jnp.asarray(arrays["mom_y"]),
+            mom_z=jnp.asarray(arrays["mom_z"]),
+            energy=jnp.asarray(arrays["energy"]),
+        )
+        self.neutral_fraction = jnp.asarray(arrays["neutral_fraction"])
+        self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        self.time = float(scalars["time"])
+
     def _radiation(self, key):
         from cmacionize_tpu import constants
         from cmacionize_tpu.models.voronoi import (

@@ -218,3 +218,103 @@ class TestPhysics:
         # resolution-limited overshoot the 8^3 Cartesian grid shows (+0.50);
         # transport exactness is pinned by the lattice-match test above
         assert err < 0.3
+
+
+class TestVoronoiRestart:
+    """Kill-and-resume for the Voronoi drivers (VERDICT r4 missing #5):
+    generator positions are the complete grid record; Qhull re-tessellates
+    them deterministically, and the RNG chain continues bit-for-bit."""
+
+    def _grid(self, seed=3, n=400):
+        rng = np.random.default_rng(seed)
+        geometry = GridGeometry(
+            (0.0, 0.0, 0.0), (1.0e17, 1.0e17, 1.0e17), (8, 8, 8))
+        return voronoi.build_voronoi_grid(geometry, rng.random((n, 3)))
+
+    def test_honly_resume_bit_for_bit(self, tmp_path):
+        from cmacionize_tpu.io.restart import RestartManager
+
+        dens = lambda pos: np.full(len(pos), 1.0e8)  # noqa: E731
+
+        def make(grid):
+            return voronoi.HOnlyVoronoiSimulation(
+                grid, dens,
+                source_position=(0.5e17, 0.5e17, 0.5e17),
+                luminosity=4.26e49, cross_section=6.3e-22,
+                recombination_rate=4e-19, n_photons=8192, seed=7)
+
+        sim = make(self._grid())
+        manager = RestartManager(str(tmp_path), interval_seconds=1e9)
+        sim.run(3)
+        path = sim.write_restart(manager)
+        xn_full = np.asarray(sim.run(3))
+
+        # a DIFFERENT tessellation pre-resume: load must restore the
+        # checkpointed generators, not keep the constructor's
+        sim2 = make(self._grid(seed=99, n=350))
+        sim2.load_restart(path)
+        assert sim2.iteration == 3
+        assert sim2.grid.n_cells == sim.grid.n_cells
+        np.testing.assert_array_equal(
+            sim2.grid.generators, sim.grid.generators)
+        np.testing.assert_array_equal(
+            sim2.grid.neighbors, sim.grid.neighbors)
+        xn_resumed = np.asarray(sim2.run(3))
+        np.testing.assert_array_equal(xn_resumed, xn_full)
+
+    def test_multifreq_resume_bit_for_bit(self, tmp_path):
+        from cmacionize_tpu.io.restart import RestartManager
+
+        dens = lambda pos: np.full(len(pos), 1.0e8)  # noqa: E731
+
+        def make(grid):
+            return voronoi.MultiFreqVoronoiSimulation(
+                grid, dens,
+                source_position=(0.5e17, 0.5e17, 0.5e17),
+                luminosity=4.26e49, n_photons=8192,
+                abundances={"He": 0.1, "C": 2.2e-4, "N": 4e-5, "O": 3.3e-4,
+                            "Ne": 5e-5, "S": 9e-6},
+                do_temperature=False, diffuse_field=False,
+                n_bins=16, seed=11)
+
+        sim = make(self._grid())
+        manager = RestartManager(str(tmp_path), interval_seconds=1e9)
+        sim.run(2)
+        path = sim.write_restart(manager)
+        xion_full, _ = sim.run(2)
+
+        sim2 = make(self._grid(seed=42, n=300))
+        sim2.load_restart(path)
+        assert sim2.iteration == 2
+        xion_resumed, _ = sim2.run(2)
+        np.testing.assert_array_equal(
+            np.asarray(xion_resumed["H_n"]), np.asarray(xion_full["H_n"]))
+
+    def test_moving_mesh_rhd_resume_bit_for_bit(self, tmp_path):
+        from cmacionize_tpu.io.restart import RestartManager
+        from cmacionize_tpu.models import voronoi_hydro
+
+        def make(grid):
+            return voronoi_hydro.VoronoiRHDSimulation(
+                grid, gamma=1.0001, timestep=2.4e10, luminosity=1e49,
+                source_position=(0.5e17, 0.5e17, 0.5e17),
+                cross_section=6.3e-22, recombination_rate=2.7e-19,
+                n_photons=4096, nloop=1, number_density=3.113e9,
+                temperature=100.0, mesh_motion=True, seed=13)
+
+        sim = make(self._grid(n=300))
+        manager = RestartManager(str(tmp_path), interval_seconds=1e9)
+        sim.run(3)
+        path = sim.write_restart(manager)
+        sim.run(3)
+        rho_full = np.asarray(sim.state.rho)
+
+        sim2 = make(self._grid(seed=77, n=250))
+        sim2.load_restart(path)
+        assert sim2.time == pytest.approx(3 * 2.4e10)
+        sim2.run(3)
+        np.testing.assert_array_equal(
+            np.asarray(sim2.state.rho), rho_full)
+        np.testing.assert_array_equal(
+            np.asarray(sim2.neutral_fraction),
+            np.asarray(sim.neutral_fraction))
