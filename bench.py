@@ -45,14 +45,14 @@ def _bench_stromgren():
     # best-of-3 timed repeats because the shared TPU tunnel's effective
     # throughput varies over time by up to ~2.5x (measured — see BASELINE.md
     # "Benchmark methodology"); each repeat continues the converged chain
-    best = 0.0
+    rates = []
     for _ in range(3):
         t0 = time.time()
         sim.advance(n_timed)
         float(jnp.sum(sim.neutral_fraction))
         elapsed = time.time() - t0
-        best = max(best, n_timed * config.n_photons / elapsed)
-    return best
+        rates.append(n_timed * config.n_photons / elapsed)
+    return max(rates), rates
 
 
 def _bench_starbench_hydro():
@@ -86,7 +86,7 @@ def _bench_starbench_hydro():
 def main():
     sys.path.insert(0, "/root/repo")
 
-    packets_per_s = _bench_stromgren()
+    packets_per_s, stromgren_repeats = _bench_stromgren()
     try:
         cell_updates_per_s = _bench_starbench_hydro()
     except Exception:
@@ -104,9 +104,23 @@ def main():
         if baseline_packets_per_s
         else None,
         "extra": {
+            # per-repeat rates expose the shared-tunnel co-tenancy window:
+            # spread max/min up to ~2.5x (BASELINE.md methodology); a
+            # cross-round comparison should use repeats, not just "value"
+            "stromgren_repeats_packets_per_s": [
+                round(r, 1) for r in stromgren_repeats
+            ],
+            "window": (
+                "fast" if min(stromgren_repeats) > 0.6 * max(stromgren_repeats)
+                else "mixed"
+            ),
             "starbench_cell_updates_per_s": (
                 round(cell_updates_per_s, 1) if cell_updates_per_s else None
             ),
+            # NOT the reference's 64^3/1e7 config — do not compare against
+            # the reference's 24.3k cell-updates/s without rescaling
+            "starbench_config": "32^3 cells, 4 x 1e5 photons/step, "
+                                "48 timed steps, HLLC",
         },
     }
     print(json.dumps(result))

@@ -749,40 +749,7 @@ class RHDSimulation:
             return self.state, self.neutral_fraction
 
         for step in range(n_steps):
-            if self.source_distribution is not None:
-                # time-dependent population + SN stellar feedback
-                # (RadiationHydrodynamicsSimulation.cpp:529-535)
-                changed = self.source_distribution.update(self.time)
-                if changed:
-                    # source set rebaked
-                    self._step_jit = jax.jit(
-                        self._step, static_argnames=("do_radiation",))
-                if self.stellar_feedback:
-                    from cmacionize_tpu.models.source_distributions import (
-                        deposit_supernova_energy,
-                    )
-
-                    sne = self.source_distribution.pop_supernovae()
-                    if sne:
-                        # accumulate in f64 (1e44 J overflows f32) and add as
-                        # an energy density
-                        e_sn = getattr(
-                            self.source_distribution, "energy", None)
-                        kwargs = {} if e_sn is None else {
-                            "energy_per_sn": float(e_sn)}
-                        injected = deposit_supernova_energy(
-                            np.zeros(self.geometry.shape, np.float64),
-                            sne, self.geometry, **kwargs,
-                        )
-                        self.state = self.state._replace(
-                            energy=self.state.energy + jnp.asarray(
-                                injected / self.geometry.cell_volume,
-                                self.state.energy.dtype,
-                            )
-                        )
-                        self.log.info(
-                            f"injected {len(sne)} supernova(e) at "
-                            f"t={self.time:.3e} s")
+            self._update_sources()
             self.key, subkey = jax.random.split(self.key)
             if diagnostics is not None:
                 with diagnostics.phase("step"):
@@ -979,9 +946,51 @@ class RHDSimulation:
             self._lastsnap += 1
         return self.state, self.neutral_fraction
 
+    def _update_sources(self):
+        """Time-dependent source population update + SN stellar feedback
+        (RadiationHydrodynamicsSimulation.cpp:529-535).  Called EVERY step
+        — the reference's add_stellar_feedback is independent of the
+        radiation gate, so hydro-only (radiation_time-gated) steps deposit
+        SN energy too (round-4 advisor finding)."""
+        if self.source_distribution is None:
+            return
+        changed = self.source_distribution.update(self.time)
+        if changed:
+            # source set rebaked
+            self._step_jit = jax.jit(
+                self._step, static_argnames=("do_radiation",))
+        if self.stellar_feedback:
+            from cmacionize_tpu.models.source_distributions import (
+                deposit_supernova_energy,
+            )
+
+            sne = self.source_distribution.pop_supernovae()
+            if sne:
+                # accumulate in f64 (1e44 J overflows f32) and add as
+                # an energy density
+                e_sn = getattr(self.source_distribution, "energy", None)
+                kwargs = {} if e_sn is None else {
+                    "energy_per_sn": float(e_sn)}
+                injected = deposit_supernova_energy(
+                    np.zeros(self.geometry.shape, np.float64),
+                    sne, self.geometry, **kwargs,
+                )
+                self.state = self.state._replace(
+                    energy=self.state.energy + jnp.asarray(
+                        injected / self.geometry.cell_volume,
+                        self.state.energy.dtype,
+                    )
+                )
+                self.log.info(
+                    f"injected {len(sne)} supernova(e) at "
+                    f"t={self.time:.3e} s")
+
     def _hydro_only_step(self, dt):
         """One step with the radiation update gated off (radiation_time
-        cadence, RadiationHydrodynamicsSimulation.cpp:540-571)."""
+        cadence, RadiationHydrodynamicsSimulation.cpp:540-571).  Source
+        updates and stellar feedback still run (the reference applies them
+        every step, independent of the gate)."""
+        self._update_sources()
         self.key, subkey = jax.random.split(self.key)
         self.state, self.neutral_fraction = self._step_jit(
             subkey, self.state, self.neutral_fraction, jnp.float32(dt),

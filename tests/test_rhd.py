@@ -117,3 +117,57 @@ def test_rhd_restart_round_trip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(sim.neutral_fraction), np.asarray(sim2.neutral_fraction)
     )
+
+
+def test_stellar_feedback_fires_on_gated_hydro_steps():
+    """Round-4 advisor regression: with `radiation time` > 0 the hydro-only
+    steps went through a path that skipped source updates entirely, so SN
+    energy injection was delayed to the next radiation-due step.  The
+    reference calls add_stellar_feedback EVERY step
+    (RadiationHydrodynamicsSimulation.cpp:531) — a supernova exploding
+    during the gated window must deposit its energy promptly."""
+    import jax.numpy as jnp
+
+    from cmacionize_tpu.models.source_distributions import (
+        SingleSupernovaSourceDistribution,
+    )
+
+    n = 8
+    geometry = GridGeometry(
+        anchor=(-0.5 * PC,) * 3, sides=(PC,) * 3, shape=(n,) * 3)
+    dt = 1.0e9
+    n_steps = 12
+    config = RHDConfig(
+        geometry=geometry,
+        gamma=5.0 / 3.0,
+        timestep=dt,
+        total_time=dt * n_steps,
+        luminosity=0.0,
+        source_position=(0.0, 0.0, 0.0),
+        cross_section=6.3e-22,
+        recombination_rate=2.7e-19,
+        n_photons=64,
+        nloop=0,
+        background_density=1.0e8,
+        background_temperature=100.0,
+        minimum_timestep=dt,
+        maximum_timestep=dt,
+        # radiation due only once, at t=0: every later step is hydro-only
+        radiation_time=1.0e30,
+    )
+    # scaled-down SN energy: keeps the fixed-dt test CFL-stable while
+    # still dwarfing the thermal energy (~6e36 J) by 16x
+    e_sn = 1.0e38
+    dist = SingleSupernovaSourceDistribution(
+        position=(0.0, 0.0, 0.0), lifetime=5.5 * dt, luminosity=0.0,
+        energy=e_sn)
+    sim = RHDSimulation(
+        config, seed=3, source_distribution=dist, stellar_feedback=True)
+    cell_volume = geometry.cell_volume
+    e0 = float(jnp.sum(sim.state.energy)) * cell_volume
+    sim.run(log_every=10**9)
+    assert dist._has_exploded
+    assert dist.pop_supernovae() == []  # consumed by the run, not pending
+    e1 = float(jnp.sum(sim.state.energy)) * cell_volume
+    # the SN energy landed (reflective box conserves the rest)
+    assert abs((e1 - e0) - e_sn) < 0.1 * e_sn, (e0, e1)
