@@ -523,7 +523,8 @@ def make_domain_spectral_trace(
 
         def superstep(carry):
             (step, tally2d, px, py, pz, dx, dy, dz, tau, w, sh, she, fb,
-             active, pend_l, pend_r, n_esc, n_over, abs_acc, key) = carry
+             active, pend_l, pend_r, n_esc, n_over, abs_acc, key,
+             n_sent) = carry
             fields = (px, py, pz, dx, dy, dz, tau, w, sh, she, fb)
             tally2d, pk = trace_once(tally2d, fields, active)
 
@@ -589,6 +590,10 @@ def make_domain_spectral_trace(
             (send_l_b,), _, _ = _compact((pk.fbin,), go_left, capacity)
             (send_r_b,), _, _ = _compact((pk.fbin,), go_right, capacity)
             n_over = n_over + ov_l + ov_r
+            # exchange-volume counter: real packets on the wire this
+            # superstep (RESULTS.md uses it to justify the slab topology)
+            n_sent = n_sent + jnp.sum(mask_l, dtype=jnp.int32) + jnp.sum(
+                mask_r, dtype=jnp.int32)
             send_l_f = (send_l_f[0] + nx_loc,) + send_l_f[1:]
             send_r_f = (send_r_f[0] - nx_loc,) + send_r_f[1:]
 
@@ -644,6 +649,7 @@ def make_domain_spectral_trace(
             return (
                 step + 1, tally2d, px, py, pz, dx, dy, dz, tau, w, sh, she,
                 fb, active, pend_l, pend_r, n_esc, n_over, abs_acc, key,
+                n_sent,
             )
 
         def cond(carry):
@@ -659,7 +665,7 @@ def make_domain_spectral_trace(
             0, tally2d, px, py, pz, dx, dy, dz, tau0, weight0, sig_h0,
             sig_he0, fbin0, active0, pending_l0, pending_r0,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), abs_acc0,
-            key0,
+            key0, jnp.asarray(0, jnp.int32),
         )
         carry = jax.lax.while_loop(cond, superstep, carry)
         tally2d, n_esc, n_over, abs_acc = (
@@ -672,6 +678,8 @@ def make_domain_spectral_trace(
             "n_escaped": jax.lax.psum(n_esc, axis),
             "buffer_overflow": jax.lax.psum(n_over, axis),
             "truncated_live": jax.lax.psum(truncated, axis),
+            "supersteps": carry[0],
+            "packets_exchanged": jax.lax.psum(carry[20], axis),
         }
         absorbed_field = abs_acc.reshape(n_bins, nx_loc, ny, nz)
         tally4d = tally2d.reshape(n_bins, nx_loc, ny, nz)
