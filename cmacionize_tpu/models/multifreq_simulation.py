@@ -87,7 +87,8 @@ def _solve_temperature_jit(T_prev, j, h, nd, abundances, pahfac, crfac):
 
 
 def solve_cell_state(j, h, nd, T_prev, abundances, do_temp,
-                     pahfac=0.0, crfac=0.0, fixed_alpha=None):
+                     pahfac=0.0, crfac=0.0, fixed_alpha=None,
+                     backend="f64-host"):
     """Per-cell coupled ionization(+temperature) solve — geometry-agnostic.
 
     The multi-element state machinery shared by the Cartesian, AMR and
@@ -103,12 +104,31 @@ def solve_cell_state(j, h, nd, T_prev, abundances, do_temp,
     Returns (T, xion dict).
     """
     if do_temp:
-        # jit the solve: eager execution re-dispatches hundreds of f64 ops
-        # per secant step (measured: ~18 min/iteration on 64³ vs ~1 min
-        # compiled); cached across iterations by shape
-        T, h0, he0, metals = _solve_temperature_jit(
-            T_prev, j, h, nd, abundances, float(pahfac), float(crfac),
-        )
+        if backend == "f32-device" and fixed_alpha is None:
+            # f32-on-accelerator solve (BASELINE.md round-5): the
+            # scale-lifted secant runs on the TPU in ~11 s at 64^3 vs the
+            # 10-15 min/iteration f64 host wall on this class of host;
+            # validated against the f64 goldens to 2e-3 in T
+            from cmacionize_tpu.ops import temperature as temp_mod
+
+            dev = jax.devices()[0]
+            put = lambda a: jax.device_put(  # noqa: E731
+                np.asarray(jax.device_get(a), np.float32), dev)
+            T32, h032, he032, m32 = temp_mod.solve_temperature_device_chunked(
+                put(T_prev), {k: put(v) for k, v in j.items()},
+                (put(h[0]), put(h[1])), put(nd), abundances,
+                float(pahfac), float(crfac))
+            back = lambda a: jnp.asarray(  # noqa: E731
+                np.asarray(jax.device_get(a), np.float64))
+            T, h0, he0 = back(T32), back(h032), back(he032)
+            metals = {k: back(v) for k, v in m32.items()}
+        else:
+            # jit the solve: eager execution re-dispatches hundreds of f64
+            # ops per secant step (measured: ~18 min/iteration on 64³ vs
+            # ~1 min compiled); cached across iterations by shape
+            T, h0, he0, metals = _solve_temperature_jit(
+                T_prev, j, h, nd, abundances, float(pahfac), float(crfac),
+            )
     else:
         T = T_prev
         AHe = abundances["He"]
@@ -176,6 +196,11 @@ class MultiFreqConfig:
     abundances: Dict[str, float]
     do_temperature: bool = True
     minimum_iteration_number: int = 3  # T-solve only after this many loops
+    #: "f64-host" (reference-faithful, bit-validated) or "f32-device"
+    #: (scale-lifted f32 secant on the accelerator — ~60x faster at 64³,
+    #: golden-validated to 2e-3 in T; parameter file:
+    #: ``TemperatureCalculator: backend``)
+    temperature_backend: str = "f64-host"
     diffuse_field: bool = True
     n_bins: int = 128
     n_reemission_rounds: int = 8
@@ -307,6 +332,9 @@ class MultiFreqConfig:
             abundances=abund,
             do_temperature=params.get_bool(
                 "TemperatureCalculator:do temperature calculation", False
+            ),
+            temperature_backend=params.get_string(
+                "TemperatureCalculator:backend", "f64-host"
             ),
             diffuse_field=params.get_bool(
                 "IonizationSimulation:diffuse field", False
@@ -799,7 +827,7 @@ class MultiFreqIonizationSimulation:
             j, h, nd,
             jax.device_put(jax.device_get(self.temperature), cpu),
             cfg.abundances, do_temp, pahfac=cfg.pahfac, crfac=cfg.crfac,
-            fixed_alpha=cfg.fixed_alpha,
+            fixed_alpha=cfg.fixed_alpha, backend=cfg.temperature_backend,
         )
         return T, xion, j
 

@@ -51,7 +51,12 @@ _RECOMBINATION_HE = {
 
 def _evaluate(table, ion_name, t4):
     if ion_name not in table:
-        return jnp.zeros_like(jnp.asarray(t4, jnp.result_type(float)))
+        # preserve the caller's dtype (the f32 device solve must not be
+        # promoted back to f64 by a zero constant)
+        t = jnp.asarray(t4)
+        dtype = t.dtype if jnp.issubdtype(t.dtype, jnp.floating) \
+            else jnp.result_type(float)
+        return jnp.zeros_like(t, dtype=dtype)
     a, b, c, d, e, lo, hi = table[ion_name]
     t = jnp.clip(jnp.asarray(t4), lo, hi)
     rate = a * t**b * (1.0 + c * jnp.exp(-d * t))

@@ -51,6 +51,12 @@ def normalize_mean_intensity(tally, luminosity, total_weight, cell_volume):
 # ---------------------------------------------------------------------------
 
 
+def _tiny(x):
+    """Division guard representable in the array's dtype (1e-300 collapses
+    to 0 in f32, where TPU flush-to-zero would defeat the guard)."""
+    return 1e-300 if x.dtype == jnp.float64 else 1e-30
+
+
 def hydrogen_helium_neutral_fractions(
     jH, jHe, nH, AHe, T, alphaH, alphaHe, n_iterations: int = 20
 ):
@@ -92,7 +98,7 @@ def hydrogen_helium_neutral_fractions(
     # initial guesses (reference :692-706)
     h0old = 0.99 * (1.0 - jnp.exp(-0.5 / ch1))
     h0 = 0.9 * h0old
-    he0old = jnp.where(has_che, jnp.minimum(0.5 / jnp.maximum(che, 1e-300), 1.0), 1.0)
+    he0old = jnp.where(has_che, jnp.minimum(0.5 / jnp.maximum(che, _tiny(che)), 1.0), 1.0)
     he0 = jnp.zeros_like(h0)
 
     def converged(h0, h0old, he0, he0old):
@@ -111,7 +117,7 @@ def hydrogen_helium_neutral_fractions(
         he0old_n = jnp.maximum(he0, 0.0)
 
         pHots = 1.0 / (
-            1.0 + 77.0 * he0old_n / (sqrtT * jnp.maximum(h0old_n, 1e-300))
+            1.0 + 77.0 * he0old_n / (sqrtT * jnp.maximum(h0old_n, _tiny(h0old_n)))
         )
         ch = ch1 - ch2 * AHe * (1.0 - he0old_n) * pHots / (1.0 - h0old_n)
 
@@ -123,7 +129,7 @@ def hydrogen_helium_neutral_fractions(
         disc_he = jnp.sqrt(
             jnp.maximum(bhe * bhe - 4.0 * AHe * opAHeh0 * che * che, 0.0)
         )
-        he0_exact = (bhe - disc_he) / (2.0 * AHe * jnp.maximum(che, 1e-300))
+        he0_exact = (bhe - disc_he) / (2.0 * AHe * jnp.maximum(che, _tiny(che)))
         he0_new = jnp.where(t1he < 1e-3, opAHeh0 * che_bhe, he0_exact)
         he0_new = jnp.where(has_che, he0_new, 1.0)
 
@@ -135,7 +141,7 @@ def hydrogen_helium_neutral_fractions(
         disc_h = jnp.sqrt(jnp.maximum(b * b - 4.0 * ch * ch * opA, 0.0))
         sign_ch = jnp.where(ch >= 0, 1.0, -1.0)
         h0_exact = (b - disc_h) / (
-            2.0 * sign_ch * jnp.maximum(jnp.abs(ch), 1e-300)
+            2.0 * sign_ch * jnp.maximum(jnp.abs(ch), _tiny(ch))
         )
         h0_new = jnp.where(t1 < 1e-3, ch_b * opA, h0_exact)
 
@@ -205,13 +211,13 @@ def metal_ion_fractions(j, ne, T, nh0, nhe0, nhp, alphas):
         numer = j[name]
         if with_ion_H:
             numer = numer + nhp * ct.ionization_rate_H(name, t4)
-        return numer / jnp.maximum(denom, 1e-300)
+        return numer / jnp.maximum(denom, _tiny(denom))
 
     out = {}
 
     # carbon: stages C+ / C++ / C+++ tracked via slots C_p1, C_p2.
     # No CT term for C+ — negligible per the reference (:393-396)
-    C21 = j["C_p1"] / jnp.maximum(safe_ne * alphas["C_p1"], 1e-300)
+    C21 = j["C_p1"] / jnp.maximum(safe_ne * alphas["C_p1"], _tiny(safe_ne))
     C32 = ratio("C_p2")
     C31 = C32 * C21
     invC = 1.0 / (1.0 + C21 + C31)
@@ -238,7 +244,7 @@ def metal_ion_fractions(j, ne, T, nh0, nhe0, nhp, alphas):
     out["O_p1"] = O31 * invO
 
     # neon
-    Ne21 = j["Ne_n"] / jnp.maximum(safe_ne * alphas["Ne_n"], 1e-300)
+    Ne21 = j["Ne_n"] / jnp.maximum(safe_ne * alphas["Ne_n"], _tiny(safe_ne))
     Ne32 = ratio("Ne_p1")
     Ne31 = Ne32 * Ne21
     invNe = 1.0 / (1.0 + Ne21 + Ne31)

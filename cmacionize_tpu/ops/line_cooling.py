@@ -74,6 +74,64 @@ def _collision_strengths(gamma, T, Tinv, logT):
     )
 
 
+_OMEGA_CACHE = {}
+
+
+def _omega_tables():
+    """f64 log-T tables of the collision-strength fits (f32 device path).
+
+    The 7-coefficient Ω(T) fit (`_collision_strengths`) cancels
+    catastrophically in f32 at T ≳ 2e4 K (measured up to 60x errors — the
+    g4·T·(1+(g5−1)·T^g6) term is a big±big difference).  Ω is smooth in
+    log T, so the f32 path evaluates the fit ONCE in f64 numpy on a
+    512-point log grid (100 K … 1e10 K, the secant's full excursion range)
+    and interpolates log Ω linearly on device — monotone, cancellation-free
+    and cheaper than the transcendental fit."""
+    if "grid" in _OMEGA_CACHE:
+        return (_OMEGA_CACHE["grid"], _OMEGA_CACHE["five"],
+                _OMEGA_CACHE["two"])
+    import numpy as _np
+
+    _, _, _, five_gamma, _, _, _, two_gamma = _tables()
+    logT = _np.linspace(_np.log(1.0e2), _np.log(1.0e10), 512)
+    T = _np.exp(logT)
+
+    def fit(gamma, T):
+        g = _np.asarray(gamma, _np.float64)
+        g0, g1, g2, g3, g4, g5, g6 = (g[..., k] for k in range(7))
+        Tb = T.reshape((-1,) + (1,) * g0.ndim)
+        return Tb ** (1.0 + g0) * (
+            g1 + g2 / Tb + g3 * _np.log(Tb)
+            + g4 * Tb * (1.0 + (g5 - 1.0) * Tb ** g6)
+        )
+
+    five = _np.log(_np.maximum(fit(five_gamma, T), 1e-30))  # [512, 10, 10]
+    two = _np.log(_np.maximum(fit(two_gamma, T), 1e-30))  # [512, 3]
+    _OMEGA_CACHE.update(
+        grid=_np.float32(logT),
+        five=_np.float32(five),
+        two=_np.float32(two),
+    )
+    return _OMEGA_CACHE["grid"], _OMEGA_CACHE["five"], _OMEGA_CACHE["two"]
+
+
+def _omega_interp(T, table_key):
+    """Device-side log-log interpolation of Ω (f32 path).
+
+    T: [...] f32; returns [..., *table_dims]."""
+    grid, five, two = _omega_tables()
+    table = jnp.asarray(five if table_key == "five" else two)
+    logT = jnp.log(jnp.clip(jnp.asarray(T, jnp.float32), 1.0e2, 1.0e10))
+    g0 = float(grid[0])
+    dg = float(grid[1] - grid[0])
+    x = (logT - g0) / dg
+    k = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, len(grid) - 2)
+    frac = (x - k.astype(jnp.float32))[..., None, None] if table.ndim == 3         else (x - k.astype(jnp.float32))[..., None]
+    lo = table[k]
+    hi = table[k + 1]
+    return jnp.exp(lo + frac * (hi - lo))
+
+
 def five_level_populations(T, ne, dtype=jnp.float64):
     """Level populations [..., 10, 5] for all five-level coolants.
 
@@ -89,9 +147,14 @@ def five_level_populations(T, ne, dtype=jnp.float64):
     ne = jnp.asarray(ne, dtype)[..., None, None]
     Tinv = 1.0 / T
     logT = jnp.log(T)
-    prefactor = COLLISION_PREFACTOR * ne / jnp.sqrt(T)
+    prefactor = jnp.asarray(COLLISION_PREFACTOR, dtype) * ne / jnp.sqrt(T)
 
-    cs = prefactor * _collision_strengths(gamma, T, Tinv, logT)  # [...,10,10]
+    if dtype == jnp.float32:
+        # cancellation-free tabulated fit (see _omega_tables)
+        omega = _omega_interp(T[..., 0, 0], "five")
+    else:
+        omega = _collision_strengths(gamma, T, Tinv, logT)
+    cs = prefactor * omega  # [...,10,10]
     rate_down = cs
     rate_up = cs * jnp.exp(-E * Tinv)
 
@@ -200,17 +263,24 @@ def two_level_populations(T, ne, dtype=jnp.float64):
     ne = jnp.asarray(ne, dtype)[..., None]
     Tinv = 1.0 / T
     logT = jnp.log(T)
-    prefactor = COLLISION_PREFACTOR * ne / jnp.sqrt(T)
-    cs = prefactor * _collision_strengths(gamma, T, Tinv, logT)  # [..., 3]
+    prefactor = jnp.asarray(COLLISION_PREFACTOR, dtype) * ne / jnp.sqrt(T)
+    if dtype == jnp.float32:
+        omega = _omega_interp(T[..., 0], "two")
+    else:
+        omega = _collision_strengths(gamma, T, Tinv, logT)
+    cs = prefactor * omega  # [..., 3]
     Texp = jnp.exp(-E * Tinv)
     return cs * Texp * invw[:, 0] / (A + cs * (invw[:, 1] + Texp * invw[:, 0]))
 
 
-def cooling_rate(T, ne, abundances, dtype=jnp.float64):
-    """Radiated power per H atom (W), cf. LineCoolingData::get_cooling.
+def cooling_rate(T, ne, abundances, dtype=jnp.float64, scale=1.0):
+    """Radiated power per H atom (W) x ``scale``, cf.
+    LineCoolingData::get_cooling.
 
     abundances: [..., 13] coolant abundances (number relative to H), ordered
-    as COOLANT_NAMES.
+    as COOLANT_NAMES.  ``scale`` is folded into the Boltzmann prefactor so
+    the f32 device solve keeps the result (and its never-zero floor) in
+    normal f32 range.
     """
     five_A, five_E = _tables()[:2]
     A = jnp.asarray(five_A, dtype)
@@ -230,12 +300,15 @@ def cooling_rate(T, ne, abundances, dtype=jnp.float64):
     two_cool = two_pops * jnp.asarray(two_A, dtype) * jnp.asarray(two_E, dtype)
 
     per_ion = jnp.concatenate([five_cool, two_cool], axis=-1)  # [..., 13]
-    total = constants.BOLTZMANN * jnp.sum(
+    total = jnp.asarray(constants.BOLTZMANN * scale, dtype) * jnp.sum(
         jnp.asarray(abundances, dtype) * per_ion, axis=-1
     )
     # never return exactly zero (the temperature iteration divides by it),
-    # cf. LineCoolingData.cpp:1770-1774
-    return jnp.maximum(total, 1e-99)
+    # cf. LineCoolingData.cpp:1770-1774 — floor representable in the dtype
+    # (1e-99 flushes to 0 in f32; in SCALED units 1e-35 corresponds to
+    # 1e-61 W per H atom, far below any physical line cooling)
+    floor = 1e-99 if dtype == jnp.float64 else 1e-35
+    return jnp.maximum(total, floor)
 
 
 def line_strengths(T, ne, abundances, dtype=jnp.float64):

@@ -74,7 +74,7 @@ def coolant_abundances(h0_unused, metals, abundances):
 
 
 def cooling_heating_balance(
-    T, j, h, nd, abundances, pahfac=0.0, crfac=0.0
+    T, j, h, nd, abundances, pahfac=0.0, crfac=0.0, scale=1.0
 ):
     """One balance evaluation at temperature field T.
 
@@ -86,10 +86,17 @@ def cooling_heating_balance(
         nd: [cells] hydrogen number density (m⁻³)
         abundances: dict element → abundance (scalars)
         pahfac/crfac: PAH and cosmic-ray heating factors
+        scale: common gain/loss prefactor folded into every COEFFICIENT
+           (not applied after the fact): the secant uses gain/loss only in
+           ratios, so a common scale cancels identically — but the f32
+           device solve needs the 1e-40-class cooling coefficients lifted
+           into f32 range BEFORE they multiply anything (TPU flushes
+           subnormals to zero).  scale=1.0 reproduces f64 behavior exactly.
 
     Returns BalanceResult (cf. compute_cooling_and_heating_balance,
     TemperatureCalculator.cpp:200-500).
     """
+    tiny = 1e-300 if jnp.asarray(T).dtype == jnp.float64 else 1e-30
     AHe = abundances.get("He", 0.0)
     alphaH = recombination.recombination_rate("H_n", T)
     alphaHe = recombination.recombination_rate("He_n", T)
@@ -108,13 +115,14 @@ def cooling_heating_balance(
 
     # --- heating (TemperatureCalculator.cpp:295-332)
     hH, hHe = h
-    gain = nd * (hH * h0 + hHe * AHe * he0)
+    gain = nd * ((hH * scale) * h0 + (hHe * scale) * AHe * he0)
     alpha_e_2sP = 4.17e-20 * T4 ** (-0.861)
-    pHots = 1.0 / (1.0 + 77.0 * he0 / (sqrtT * jnp.maximum(h0, 1e-300)))
-    gain = gain + pHots * HE_LYA_HEATING_ENERGY * alpha_e_2sP * nenhep
-    gain = gain + 1.5e-37 * nd * ne * pahfac
+    pHots = 1.0 / (1.0 + 77.0 * he0 / (sqrtT * jnp.maximum(h0, tiny)))
+    gain = gain + pHots * (HE_LYA_HEATING_ENERGY * scale) * alpha_e_2sP * nenhep
+    gain = gain + (1.5e-37 * scale) * nd * ne * pahfac
     if crfac > 0.0:
-        gain = gain + crfac * 1.2e-25 / jnp.sqrt(jnp.maximum(ne, 1e-300))
+        gain = gain + crfac * (1.2e-25 * scale) / jnp.sqrt(
+            jnp.maximum(ne, tiny))
 
     # --- metal ionization (for coolant abundances)
     alphas = {name: recombination.recombination_rate(name, T) for name in _METAL_NAMES}
@@ -125,14 +133,16 @@ def cooling_heating_balance(
 
     # --- cooling (TemperatureCalculator.cpp:422-500)
     abund = coolant_abundances(h0, metals, abundances)
-    loss = line_cooling.cooling_rate(T, ne, abund) * nd
+    dtype = jnp.asarray(T).dtype
+    loss = line_cooling.cooling_rate(
+        T, ne, abund, dtype=dtype, scale=scale) * nd
     cgaunt = 5.5 - logT
     gff = 1.1 + 0.34 * jnp.exp(-cgaunt * cgaunt / 3.0)
-    loss = loss + 1.42e-40 * gff * sqrtT * (nenhp + nenhep)
-    loss = loss + 2.85e-40 * nenhp * sqrtT * (
+    loss = loss + (1.42e-40 * scale) * gff * sqrtT * (nenhp + nenhep)
+    loss = loss + (2.85e-40 * scale) * nenhp * sqrtT * (
         5.914 - 0.5 * logT + 0.01184 * jnp.cbrt(T)
     )
-    loss = loss + 1.55e-39 * nenhep * T**0.3647
+    loss = loss + (1.55e-39 * scale) * nenhep * T**0.3647
 
     return BalanceResult(
         h0=h0,
@@ -169,6 +179,7 @@ def _secant_loop(
     epsilon,
     max_iterations,
     minimum_ionized_temperature,
+    scale=1.0,
 ):
     """Run up to ``max_iterations`` lockstep secant sweeps.
 
@@ -179,9 +190,12 @@ def _secant_loop(
     the property the width-compacting wrapper below relies on.
     """
     logtt = jnp.log(1.1 / 0.9)
+    tiny = (1e-300 if jnp.asarray(cell_state[0]).dtype == jnp.float64
+            else 1e-30)
 
     def eval_balance(T):
-        return cooling_heating_balance(T, j, h, nd, abundances, pahfac, crfac)
+        return cooling_heating_balance(
+            T, j, h, nd, abundances, pahfac, crfac, scale)
 
     def metals_tuple(metals):
         return tuple(metals[name] for name in _METAL_NAMES)
@@ -200,7 +214,7 @@ def _secant_loop(
             # log(a/b) with the reference's 0-handling (:755-792)
             return jnp.where(
                 b > 0.0,
-                jnp.where(a > 0.0, jnp.log(jnp.maximum(a, 1e-300) / b), -99.0),
+                jnp.where(a > 0.0, jnp.log(jnp.maximum(a, tiny) / b), -99.0),
                 jnp.where(a > 0.0, 99.0, 0.0),
             )
 
@@ -208,11 +222,11 @@ def _secant_loop(
         exploss = log_ratio(bal1.loss, bal2.loss)
         expdiff = expgain - exploss
         good = (bal0.gain > 0.0) & (expdiff != 0.0)
-        ratio = bal0.loss / jnp.maximum(bal0.gain, 1e-300)
+        ratio = bal0.loss / jnp.maximum(bal0.gain, tiny)
         T_new = jnp.where(
             good,
             T0 * jnp.exp(jnp.clip(logtt / jnp.where(good, expdiff, 1.0), -50, 50)
-                         * jnp.log(jnp.maximum(ratio, 1e-300))),
+                         * jnp.log(jnp.maximum(ratio, tiny))),
             1.1 * T0,
         )
 
@@ -240,7 +254,7 @@ def _secant_loop(
         # |gain - loss| <= eps * gain, using the values just computed
         frozen_out = frozen | (
             jnp.abs(gain_out - loss_out)
-            <= epsilon * jnp.maximum(gain_out, 1e-300)
+            <= epsilon * jnp.maximum(gain_out, tiny)
         )
         return (
             niter + 1, T_out, gain_out, loss_out, frozen_out,
@@ -305,6 +319,120 @@ def _secant_stage_jit(state, j, h, nd, abundances, *, pahfac, crfac,
         state, j, h, nd, abundances, pahfac, crfac, epsilon,
         max_iterations, min_T,
     )
+
+
+#: coefficient prefactor for the f32 device solve: lifts the 1e-40-class
+#: cooling coefficients into f32 normal range (TPU flushes subnormals);
+#: gain and loss carry the SAME factor, and the secant uses them only in
+#: ratios and a relative convergence test, so the factor cancels exactly
+DEVICE_SOLVE_SCALE = 1.0e26
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pahfac", "crfac", "epsilon", "max_iterations",
+        "minimum_ionized_temperature",
+    ),
+)
+def solve_temperature_device(
+    T_init,
+    j,
+    h,
+    nd,
+    abundances,
+    pahfac=0.0,
+    crfac=0.0,
+    epsilon: float = 1e-3,
+    max_iterations: int = 100,
+    minimum_ionized_temperature: float = 4000.0,
+):
+    """f32-on-accelerator temperature solve (VERDICT r4 ask #4).
+
+    Same algorithm as :func:`solve_temperature`, run in float32 with every
+    gain/loss coefficient pre-scaled by :data:`DEVICE_SOLVE_SCALE` so no
+    term leaves f32 range (the balance spans ~40 orders of magnitude in
+    SI; the scale-invariance of the log-secant makes the reformulation
+    exact up to f32 rounding).  Validated against the f64 goldens in
+    tests/test_temperature.py::TestDeviceSolve; accept/reject decision
+    recorded in BASELINE.md "Round-5 on-device f32 temperature solve".
+
+    Returns (T, h0, he0, metals) in float32 on the default backend.
+    """
+    f32 = jnp.float32
+    conv = lambda a: jnp.asarray(a, f32)  # noqa: E731
+    j32 = {k: conv(v) for k, v in j.items()}
+    h32 = (conv(h[0]), conv(h[1]))
+    out = _secant_loop(
+        _secant_start_state(conv(T_init)), j32, h32, conv(nd), abundances,
+        pahfac, crfac, epsilon, max_iterations,
+        minimum_ionized_temperature, scale=DEVICE_SOLVE_SCALE,
+    )
+    T0, _, _, _, h0, he0, metals_t = out
+    metals = dict(zip(_METAL_NAMES, metals_t))
+    return _temperature_fixups(T0, h0, he0, metals, j32)
+
+
+def solve_temperature_device_chunked(
+    T_init,
+    j,
+    h,
+    nd,
+    abundances,
+    pahfac=0.0,
+    crfac=0.0,
+    epsilon: float = 1e-3,
+    max_iterations: int = 100,
+    minimum_ionized_temperature: float = 4000.0,
+    chunk: int = 32768,
+):
+    """Fixed-chunk driver for :func:`solve_temperature_device`.
+
+    One 2^15-cell chunk compiles once (cached by shape) and is reused for
+    every chunk of every iteration; 64³ grids fused into a single program
+    exceeded the TPU compile's constant-literal budget (the [n,10,5,5]
+    level-population workspaces), and chunking also bounds the live
+    workspace memory.  Per-cell results identical to the unchunked call
+    (the solve is embarrassingly per-cell).  Returns f32 arrays of
+    T_init's shape."""
+    shape = jnp.asarray(T_init).shape
+    n = int(np.prod(shape))
+    if n <= chunk:
+        T, h0, he0, metals = solve_temperature_device(
+            T_init, j, h, nd, abundances, pahfac, crfac, epsilon,
+            max_iterations, minimum_ionized_temperature)
+        return (T.reshape(shape), h0.reshape(shape), he0.reshape(shape),
+                {k: v.reshape(shape) for k, v in metals.items()})
+    pad = (-n) % chunk
+    flat = lambda a: jnp.concatenate(  # noqa: E731
+        [jnp.ravel(jnp.asarray(a, jnp.float32)),
+         jnp.zeros((pad,), jnp.float32)]) if pad else jnp.ravel(
+        jnp.asarray(a, jnp.float32))
+    Tf = flat(T_init)
+    jf = {k: flat(v) for k, v in j.items()}
+    hf = (flat(h[0]), flat(h[1]))
+    # padding cells get nd of 1 (not 0: degenerate) and j=h=0 → they relax
+    # to the neutral floor and are discarded
+    ndf = flat(nd)
+    if pad:
+        ndf = ndf.at[n:].set(1.0)
+        Tf = Tf.at[n:].set(8000.0)
+    outs = []
+    for c0 in range(0, n + pad, chunk):
+        sl = slice(c0, c0 + chunk)
+        outs.append(solve_temperature_device(
+            Tf[sl], {k: v[sl] for k, v in jf.items()},
+            (hf[0][sl], hf[1][sl]), ndf[sl], abundances, pahfac, crfac,
+            epsilon, max_iterations, minimum_ionized_temperature))
+    T = jnp.concatenate([o[0] for o in outs])[:n].reshape(shape)
+    h0 = jnp.concatenate([o[1] for o in outs])[:n].reshape(shape)
+    he0 = jnp.concatenate([o[2] for o in outs])[:n].reshape(shape)
+    metals = {
+        name: jnp.concatenate(
+            [o[3][name] for o in outs])[:n].reshape(shape)
+        for name in _METAL_NAMES
+    }
+    return T, h0, he0, metals
 
 
 def solve_temperature_compacted(

@@ -108,3 +108,59 @@ def test_monochromatic_matches_h_only_driver():
     v1 = (xH < 0.5).sum()
     v2 = (xH_ref < 0.5).sum()
     assert v1 == pytest.approx(v2, rel=0.2)
+
+
+def test_f32_device_temperature_backend_matches_host():
+    """`TemperatureCalculator: backend: f32-device` (BASELINE.md round-5):
+    the accelerator-resident f32 solve must reproduce the f64-host
+    pipeline's temperature/ionization structure on a lexington-mini."""
+    import numpy as np
+
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.multifreq_simulation import (
+        MultiFreqConfig,
+        MultiFreqIonizationSimulation,
+    )
+
+    pc = 3.086e16
+    geometry = GridGeometry((-5 * pc,) * 3, (10 * pc,) * 3, (16, 16, 16))
+    common = dict(
+        geometry=geometry,
+        number_density=1e8,
+        initial_temperature=8000.0,
+        source_position=(0.0, 0.0, 0.0),
+        luminosity=4.26e49,
+        spectrum_type="planck",
+        spectrum_temperature=40000.0,
+        spectrum_frequency=3.3e15,
+        n_photons=30000,
+        n_iterations=6,
+        abundances={"He": 0.1, "C": 2.2e-4, "N": 4e-5, "O": 3.3e-4,
+                    "Ne": 5e-5, "S": 9e-6},
+        do_temperature=True,
+        diffuse_field=False,
+        n_bins=32,
+    )
+    sim_host = MultiFreqIonizationSimulation(
+        MultiFreqConfig(**common, temperature_backend="f64-host"), seed=21)
+    xion_h, T_h = sim_host.run(6)
+    sim_dev = MultiFreqIonizationSimulation(
+        MultiFreqConfig(**common, temperature_backend="f32-device"), seed=21)
+    xion_d, T_d = sim_dev.run(6)
+
+    T_h = np.asarray(T_h)
+    T_d = np.asarray(T_d)
+    r = np.sqrt((np.asarray(geometry.cell_centers()) ** 2).sum(-1)).ravel()
+    ion = np.asarray(xion_h["H_n"]).ravel() < 0.5
+    # same MC stream (same seed), only the solve differs: the ionized-zone
+    # temperature structure must agree closely cell by cell
+    rel = np.abs(T_d.ravel()[ion] - T_h.ravel()[ion]) / T_h.ravel()[ion]
+    assert np.median(rel) < 5e-3, np.median(rel)
+    assert np.quantile(rel, 0.95) < 3e-2, np.quantile(rel, 0.95)
+    v_h = (np.asarray(xion_h["H_n"]) < 0.5).sum()
+    v_d = (np.asarray(xion_d["H_n"]) < 0.5).sum()
+    assert abs(v_d - v_h) <= max(0.02 * v_h, 5)
+    o_h = np.asarray(xion_h["O_n"]).ravel()[ion]
+    o_d = np.asarray(xion_d["O_n"]).ravel()[ion]
+    np.testing.assert_allclose(np.median(o_d), np.median(o_h),
+                               rtol=0.05, atol=1e-4)

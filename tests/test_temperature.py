@@ -134,3 +134,85 @@ def test_compacted_solve_bitwise_identical():
             np.asarray(got[3][name]), np.asarray(ref[3][name]),
             err_msg=name,
         )
+
+
+class TestDeviceSolve:
+    """f32-on-accelerator solve (VERDICT r4 ask #4): the scale-lifted f32
+    formulation must track the f64 goldens."""
+
+    def test_balance_f32_scaled_matches_golden(self):
+        data = _load("ioneng_testdata.txt")
+        j = {name: np.float32(data[:, i])
+             for i, name in enumerate(ions.ION_NAMES)}
+        hH = np.float32(data[:, 14] * 1e-7)
+        hHe = np.float32(data[:, 15] * 1e-7)
+        T = np.float32(data[:, 16])
+        gain_exp = data[:, 17] * 0.1 * 1e-20
+        loss_exp = data[:, 18] * 0.1 * 1e-20
+        n = np.float32(data[:, 19] * 1e6)
+        S = temperature.DEVICE_SOLVE_SCALE
+
+        bal = temperature.cooling_heating_balance(
+            T, j, (hH, hHe), n, ABUND, pahfac=1.0, crfac=0.0, scale=S
+        )
+        assert np.asarray(bal.gain).dtype == np.float32
+        np.testing.assert_allclose(
+            np.asarray(bal.gain, np.float64) / S, gain_exp, rtol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(bal.loss, np.float64) / S, loss_exp, rtol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(bal.h0), np.float32(data[:, 20]), rtol=2e-3)
+
+    def test_solve_f32_tracks_f64_golden(self):
+        data = _load("tbal_testdata.txt")
+        mask = data[:, 16] <= 30000.0
+        data = data[mask]
+        j = {name: data[:, i] for i, name in enumerate(ions.ION_NAMES)}
+        hH = data[:, 14] * 1e-7
+        hHe = data[:, 15] * 1e-7
+        T_init = data[:, 16]
+        n = data[:, 17] * 1e6
+        h0_exp = np.minimum(data[:, 18], 1.0)
+        T_exp = np.minimum(data[:, 32], 30000.0)
+
+        T, h0, he0, metals = temperature.solve_temperature_device(
+            T_init, j, (hH, hHe), n, ABUND, pahfac=1.0, crfac=0.0
+        )
+        assert np.asarray(T).dtype == np.float32
+        # equilibrium T: with the tabulated-Omega fix the f32 secant lands
+        # within 2e-3 of the Fortran-golden f64 answer (measured max
+        # 1.1e-4; the slack covers platform variation — BASELINE.md r5)
+        np.testing.assert_allclose(np.asarray(T), T_exp, rtol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(h0), h0_exp, rtol=2e-2, atol=1e-6)
+
+    def test_solve_f32_tracks_f64_on_random_lexington_states(self):
+        """Beyond the fixtures: a realistic spread of (j, h, nd) states —
+        f32 device solve vs f64 reference solve, distributional check."""
+        rng = np.random.default_rng(17)
+        n_cells = 4096
+        jH = 10.0 ** rng.uniform(-14, -7, n_cells)
+        fac = {"H_n": 1.0, "He_n": 0.6, "C_p1": 0.2, "C_p2": 0.05,
+               "N_n": 0.3, "N_p1": 0.1, "N_p2": 0.02, "O_n": 0.4,
+               "O_p1": 0.1, "Ne_n": 0.2, "Ne_p1": 0.05, "S_p1": 0.1,
+               "S_p2": 0.03, "S_p3": 0.01}
+        j = {name: jH * f for name, f in fac.items()}
+        hH = jH * 4.0e-19
+        hHe = jH * 2.0e-19
+        nd = np.full(n_cells, 1.0e8)
+        T0 = np.full(n_cells, 8000.0)
+
+        T64, h064, _, _ = temperature.solve_temperature(
+            T0, j, (hH, hHe), nd, ABUND, pahfac=1.0)
+        T32, h032, _, _ = temperature.solve_temperature_device(
+            T0, j, (hH, hHe), nd, ABUND, pahfac=1.0)
+        T64 = np.asarray(T64)
+        T32 = np.asarray(T32, np.float64)
+        rel = np.abs(T32 - T64) / T64
+        # secant endpoints may disagree more for cells parked at the
+        # 500 K floor / 30 kK cap boundary; the bulk must track closely
+        assert np.median(rel) < 3e-3, np.median(rel)
+        assert np.quantile(rel, 0.95) < 2e-2, np.quantile(rel, 0.95)
+        np.testing.assert_allclose(
+            np.asarray(h032, np.float64), np.asarray(h064), rtol=5e-2,
+            atol=1e-6)
