@@ -79,11 +79,20 @@ def _run_ionization(params, log, seed, n_devices_flag=0):
     """
     grid_type = params.get_string("DensityGrid:type", "Cartesian")
     n_dev, tiling = _parallel_config(params, n_devices_flag)
-    if n_dev > 1 and grid_type != "Cartesian":
-        raise SystemExit(
-            "Parallel: domain decomposition requires a Cartesian grid")
     if grid_type in ("AMR", "Voronoi"):
-        return _run_ionization_special_grid(params, log, seed, grid_type)
+        # AMR/Voronoi distribute via replicated-grid photon DP — the same
+        # strategy the reference uses for these grids (its only distributed
+        # mode for them: classic MPI, IonizationSimulation.cpp:395-529)
+        mesh = None
+        if n_dev > 1:
+            from cmacionize_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_dev, axis_names=("ph",))
+            log.status(
+                f"photon data parallelism: {n_dev} devices, "
+                f"replicated {grid_type} grid")
+        return _run_ionization_special_grid(
+            params, log, seed, grid_type, mesh=mesh)
     multi_element = (
         params.get_bool("TemperatureCalculator:do temperature calculation", False)
         or params.get_bool("IonizationSimulation:diffuse field", False)
@@ -191,8 +200,12 @@ def _run_ionization(params, log, seed, n_devices_flag=0):
     _write_snapshot(params, config.geometry, fields, 0.0, log)
 
 
-def _run_ionization_special_grid(params, log, seed, grid_type):
-    """H-only photoionization on an AMR or Voronoi grid."""
+def _run_ionization_special_grid(params, log, seed, grid_type, mesh=None):
+    """H-only photoionization on an AMR or Voronoi grid.
+
+    ``mesh``: optional device mesh for replicated-grid photon data
+    parallelism (packets split over devices, tallies psum'd — the
+    reference's classic MPI mode for these grid families)."""
     import numpy as np
 
     from cmacionize_tpu.models.grid import GridGeometry
@@ -244,6 +257,7 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
         spectrum_temperature=params.get_physical_value(
             "PhotonSourceSpectrum:temperature", "temperature", "40000. K"),
         seed=seed,
+        mesh=mesh,
     )
     extra_fields = {}
     if grid_type == "AMR":
@@ -276,6 +290,7 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
                 n_photons=config.n_photons,
                 max_level=max_level,
                 seed=seed,
+                mesh=mesh,
             )
             xh = np.asarray(sim.run(config.n_iterations))
             n_cells, lvl = sim.grid.n_cells, sim.grid.max_level
@@ -309,6 +324,7 @@ def _run_ionization_special_grid(params, log, seed, grid_type):
                 recombination_rate=config.recombination_rate,
                 n_photons=config.n_photons,
                 seed=seed,
+                mesh=mesh,
             )
             xh = np.asarray(sim.run(config.n_iterations))
             log.status(f"ionized volume {sim.ionized_volume():.4g} m^3")

@@ -677,7 +677,8 @@ class MultiFreqAMRSimulation:
                  abundances=None, spectrum_temperature=40000.0,
                  do_temperature=True, diffuse_field=False,
                  n_bins=64, n_reemission_rounds=4,
-                 initial_temperature=8000.0, seed=42):
+                 initial_temperature=8000.0, seed=42, mesh=None):
+        self.mesh = mesh
         import jax as _jax
 
         if not _jax.config.jax_enable_x64:
@@ -789,22 +790,22 @@ class MultiFreqAMRSimulation:
              - np.asarray(grid.geometry.anchor)) / grid.fine_cell_size
         )
         edges32 = jnp.asarray(self.bin_edges, jnp.float32)
+        cdf32 = jnp.asarray(self.spectrum_cdf, jnp.float32)
 
-        for it in range(n_iterations):
-            self.key, kb, ke, kl = jax.random.split(self.key, 4)
-            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0).astype(jnp.float32)
-            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0).astype(jnp.float32)
-            nd32 = self.number_density.astype(jnp.float32)
-            chi_h = nd32 * xH
-            chi_he = nd32 * AHe * xHe
+        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        per_dev = -(-self.n_photons // n_dev)
+        n_total = per_dev * n_dev
 
-            xi = jax.random.uniform(kb, (self.n_photons,), jnp.float32)
+        def mc_phase(key, chi_h, chi_he, xH, xHe, T32):
+            """One device's MC share: emit ``per_dev`` packets, spectral
+            trace, local reemission generations → [n_bins, C] leaf tally."""
+            kb, ke, kl = jax.random.split(key, 3)
+            xi = jax.random.uniform(kb, (per_dev,), jnp.float32)
             fbin = jnp.clip(
-                jnp.searchsorted(
-                    jnp.asarray(self.spectrum_cdf, jnp.float32), xi) - 1,
+                jnp.searchsorted(cdf32, xi) - 1,
                 0, self.n_bins - 1).astype(jnp.int32)
             px, py, pz, dx, dy, dz, tau, _, w = sources.emit_point_source(
-                ke, self.n_photons, gpos)
+                ke, per_dev, gpos)
             packets = traversal.make_spectral_packets(
                 jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
                 tau, w, sig_h_tab[fbin], sig_he_tab[fbin], fbin, fine_shape)
@@ -823,12 +824,10 @@ class MultiFreqAMRSimulation:
                     root_j, children_j = (
                         jnp.asarray(a) for a in grid.octree())
                     scale = 2.0 ** (-grid.max_level)
-                    T_l = self.temperature.astype(jnp.float32)
                 else:
                     xH_f = grid.expand(xH).reshape(-1)
                     xHe_f = grid.expand(xHe).reshape(-1)
-                    T_f = grid.expand(
-                        self.temperature.astype(jnp.float32)).reshape(-1)
+                    T_f = grid.expand(T32).reshape(-1)
                 for gen in range(self.n_reemission_rounds):
                     kl, kr, kd, kt = jax.random.split(kl, 4)
                     if deep:
@@ -837,7 +836,7 @@ class MultiFreqAMRSimulation:
                             pk.px * scale, pk.py * scale, pk.pz * scale,
                             coarse_shape=tuple(grid.geometry.shape),
                             max_level=grid.max_level)
-                        xH_at, xHe_at, T_at = xH[leaf], xHe[leaf], T_l[leaf]
+                        xH_at, xHe_at, T_at = xH[leaf], xHe[leaf], T32[leaf]
                     else:
                         flat = (
                             pk.cx * fine_shape[1] + pk.cy
@@ -860,6 +859,48 @@ class MultiFreqAMRSimulation:
                     gen_tally, pk = trace_amr_spectral(
                         grid, chi_h, chi_he, pk, n_bins=self.n_bins)
                     leaf_tally = leaf_tally + gen_tally
+            return leaf_tally
+
+        dp_mc = None
+        if self.mesh is not None:
+            # photon-DP: replicated hierarchy, per-device emission and
+            # reemission generations, per-leaf binned tallies psum'd
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def device_mc(keys, chi_h, chi_he, xH, xHe, T32):
+                return jax.lax.psum(
+                    mc_phase(keys[0], chi_h, chi_he, xH, xHe, T32), "ph")
+
+            _sharded_mc = jax.jit(shard_map(
+                device_mc, mesh=self.mesh,
+                in_specs=(P("ph"),) + (P(),) * 5,
+                out_specs=P(), check_vma=False))
+            _rep = NamedSharding(self.mesh, P())
+            _split = NamedSharding(self.mesh, P("ph"))
+
+            def dp_mc(keys, *fields):
+                # the solve step commits its outputs to cpu:0; re-place
+                # everything on the mesh before entering the shard_map
+                keys = jax.device_put(keys, _split)
+                fields = tuple(
+                    jax.device_put(f, _rep) for f in fields)
+                return _sharded_mc(keys, *fields)
+
+        for it in range(n_iterations):
+            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0).astype(jnp.float32)
+            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0).astype(jnp.float32)
+            nd32 = self.number_density.astype(jnp.float32)
+            chi_h = nd32 * xH
+            chi_he = nd32 * AHe * xHe
+            T32 = self.temperature.astype(jnp.float32)
+            if dp_mc is not None:
+                keys = jax.random.split(self.key, n_dev + 1)
+                self.key = keys[0]
+                leaf_tally = dp_mc(keys[1:], chi_h, chi_he, xH, xHe, T32)
+            else:
+                self.key, kit = jax.random.split(self.key)
+                leaf_tally = mc_phase(kit, chi_h, chi_he, xH, xHe, T32)
 
             # binned per-leaf tallies → per-ion integrals (one matmul)
             integrals = traversal.spectral_tallies_to_ion_integrals(
@@ -875,7 +916,7 @@ class MultiFreqAMRSimulation:
             integrals = jax.device_put(
                 jax.device_get(integrals), cpu).astype(jnp.float64)
             volumes = jnp.asarray(grid.volumes, jnp.float64)
-            jfac = self.luminosity / (self.n_photons * volumes)
+            jfac = self.luminosity / (n_total * volumes)
             hfac = jfac * constants.PLANCK
             j = {
                 name: integrals[i] * jfac
@@ -921,7 +962,9 @@ class AMRIonizationSimulation:
         refinement_interval: int = 0,  # 0 → refine once at construction
         initial_neutral_fraction: float = 1.0e-6,
         seed: int = 42,
+        mesh=None,
     ):
+        self.mesh = mesh
         self.geometry = geometry
         self.scheme = scheme
         self.density_fn = density_fn
@@ -1016,6 +1059,12 @@ class AMRIonizationSimulation:
 
         if restart_manager is not None:
             signals.install()
+        dp_trace, dp_grid = None, None
+        n_total = self.n_photons
+        if self.mesh is not None:
+            n_dev = int(self.mesh.devices.size)
+            per_dev = -(-self.n_photons // n_dev)
+            n_total = per_dev * n_dev
         for _ in range(n_iterations):
             it = self.iteration
             if (
@@ -1030,23 +1079,42 @@ class AMRIonizationSimulation:
                  - np.asarray(self.geometry.anchor))
                 / grid.fine_cell_size
             )
-            self.key, subkey = jax.random.split(self.key)
-            px, py, pz, dx, dy, dz, tau, _, w = sources.emit_point_source(
-                subkey, self.n_photons, gpos
-            )
-            packets = traversal.make_packets(
-                jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
-                tau, w, grid.fine_shape,
-            )
             chi_si = (
                 self.number_density * self.neutral_fraction
                 * self.cross_section
             )
-            leaf_tally, n_escaped = trace_amr(grid, chi_si, packets)
+            if self.mesh is not None:
+                # photon data parallelism over the replicated hierarchy
+                # (the reference's MPI mode for AMR grids,
+                # IonizationSimulation.cpp:395-529); the traced program
+                # closes over the octree tables, so regrids rebuild it
+                if dp_grid is not grid:
+                    from cmacionize_tpu.parallel.photon_dp import (
+                        make_amr_dp_trace,
+                    )
+
+                    dp_trace = make_amr_dp_trace(
+                        self.mesh, grid,
+                        n_photons_per_device=per_dev, gpos=gpos,
+                    )
+                    dp_grid = grid
+                keys = jax.random.split(self.key, n_dev + 1)
+                self.key = keys[0]
+                leaf_tally, n_escaped = dp_trace(keys[1:], chi_si)
+            else:
+                self.key, subkey = jax.random.split(self.key)
+                px, py, pz, dx, dy, dz, tau, _, w = (
+                    sources.emit_point_source(subkey, self.n_photons, gpos)
+                )
+                packets = traversal.make_packets(
+                    jnp.stack([px, py, pz], 1), jnp.stack([dx, dy, dz], 1),
+                    tau, w, grid.fine_shape,
+                )
+                leaf_tally, n_escaped = trace_amr(grid, chi_si, packets)
             # folded in float64 on host: luminosity alone overflows f32
             jfac = jnp.asarray(
                 self.luminosity * self.cross_section
-                / (self.n_photons * np.asarray(grid.volumes, np.float64)),
+                / (n_total * np.asarray(grid.volumes, np.float64)),
                 jnp.float32,
             )
             jH = leaf_tally * jfac

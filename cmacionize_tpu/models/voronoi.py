@@ -638,7 +638,8 @@ class MultiFreqVoronoiSimulation:
                  abundances=None, spectrum_temperature=40000.0,
                  do_temperature=True, diffuse_field=False,
                  n_bins=64, n_reemission_rounds=4,
-                 initial_temperature=8000.0, seed=42):
+                 initial_temperature=8000.0, seed=42, mesh=None):
+        self.mesh = mesh
         import jax as _jax
 
         if not _jax.config.jax_enable_x64:
@@ -737,36 +738,35 @@ class MultiFreqVoronoiSimulation:
                   - np.asarray(grid.geometry.anchor)) / grid.scale)
         src_cell = int(grid.locate(src_u)[0])
         edges32 = jnp.asarray(self.bin_edges, jnp.float32)
+        cdf32 = jnp.asarray(self.spectrum_cdf, jnp.float32)
+        src32 = jnp.asarray(src_u, jnp.float32)
 
-        for it in range(n_iterations):
-            self.key, kb, kd, kt, kl = jax.random.split(self.key, 5)
-            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0).astype(jnp.float32)
-            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0).astype(jnp.float32)
-            nd32 = self.number_density.astype(jnp.float32)
-            chi_h = nd32 * xH
-            chi_he = nd32 * AHe * xHe
+        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        per_dev = -(-self.n_photons // n_dev)
+        n_total = per_dev * n_dev
 
-            xi = jax.random.uniform(kb, (self.n_photons,), jnp.float32)
+        def mc_phase(key, chi_h, chi_he, xH, xHe, T32):
+            """One device's share of the MC phase: emit ``per_dev`` packets,
+            trace, run the reemission generations locally (per-rank, as the
+            reference's replicated-grid MPI mode does) → [n_bins, C] tally."""
+            kb, kd, kt, kl = jax.random.split(key, 4)
+            xi = jax.random.uniform(kb, (per_dev,), jnp.float32)
             fbin = jnp.clip(
-                jnp.searchsorted(
-                    jnp.asarray(self.spectrum_cdf, jnp.float32), xi) - 1,
+                jnp.searchsorted(cdf32, xi) - 1,
                 0, self.n_bins - 1).astype(jnp.int32)
-            ndx, ndy, ndz = sources.isotropic_directions(kd, self.n_photons)
-            tau = sources.sample_tau_targets(kt, self.n_photons)
-            pos = jnp.tile(
-                jnp.asarray(src_u, jnp.float32), (self.n_photons, 1))
+            ndx, ndy, ndz = sources.isotropic_directions(kd, per_dev)
+            tau = sources.sample_tau_targets(kt, per_dev)
             pk = SpectralVoronoiPacketBatch(
-                pos, jnp.stack([ndx, ndy, ndz], 1),
-                jnp.full(self.n_photons, src_cell, jnp.int32),
-                tau, jnp.ones(self.n_photons, jnp.float32),
+                jnp.tile(src32, (per_dev, 1)),
+                jnp.stack([ndx, ndy, ndz], 1),
+                jnp.full(per_dev, src_cell, jnp.int32),
+                tau, jnp.ones(per_dev, jnp.float32),
                 sig_h_tab[fbin], sig_he_tab[fbin], fbin,
-                jnp.ones(self.n_photons, bool),
-                jnp.zeros(self.n_photons, bool))
+                jnp.ones(per_dev, bool),
+                jnp.zeros(per_dev, bool))
             tally, pk = trace_packets_voronoi_spectral(
                 grid, chi_h, chi_he, pk, n_bins=self.n_bins)
-
             if self.diffuse_field:
-                T32 = self.temperature.astype(jnp.float32)
                 for gen in range(self.n_reemission_rounds):
                     kl, kr, kdd, ktt = jax.random.split(kl, 4)
                     cells = jnp.clip(pk.cell, 0, C - 1)
@@ -787,6 +787,48 @@ class MultiFreqVoronoiSimulation:
                     gen_tally, pk = trace_packets_voronoi_spectral(
                         grid, chi_h, chi_he, pk, n_bins=self.n_bins)
                     tally = tally + gen_tally
+            return tally
+
+        dp_mc = None
+        if self.mesh is not None:
+            # photon-DP: replicated tessellation, per-device emission and
+            # reemission generations, spectral tallies psum'd
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def device_mc(keys, chi_h, chi_he, xH, xHe, T32):
+                return jax.lax.psum(
+                    mc_phase(keys[0], chi_h, chi_he, xH, xHe, T32), "ph")
+
+            _sharded_mc = jax.jit(shard_map(
+                device_mc, mesh=self.mesh,
+                in_specs=(P("ph"),) + (P(),) * 5,
+                out_specs=P(), check_vma=False))
+            _rep = NamedSharding(self.mesh, P())
+            _split = NamedSharding(self.mesh, P("ph"))
+
+            def dp_mc(keys, *fields):
+                # the solve step commits its outputs to cpu:0; re-place
+                # everything on the mesh before entering the shard_map
+                keys = jax.device_put(keys, _split)
+                fields = tuple(
+                    jax.device_put(f, _rep) for f in fields)
+                return _sharded_mc(keys, *fields)
+
+        for it in range(n_iterations):
+            xH = jnp.clip(self.xion["H_n"], 0.0, 1.0).astype(jnp.float32)
+            xHe = jnp.clip(self.xion["He_n"], 0.0, 1.0).astype(jnp.float32)
+            nd32 = self.number_density.astype(jnp.float32)
+            chi_h = nd32 * xH
+            chi_he = nd32 * AHe * xHe
+            T32 = self.temperature.astype(jnp.float32)
+            if dp_mc is not None:
+                keys = jax.random.split(self.key, n_dev + 1)
+                self.key = keys[0]
+                tally = dp_mc(keys[1:], chi_h, chi_he, xH, xHe, T32)
+            else:
+                self.key, kit = jax.random.split(self.key)
+                tally = mc_phase(kit, chi_h, chi_he, xH, xHe, T32)
 
             integrals = traversal.spectral_tallies_to_ion_integrals(
                 tally.reshape(-1),
@@ -801,7 +843,7 @@ class MultiFreqVoronoiSimulation:
             integrals = jax.device_put(
                 jax.device_get(integrals), cpu).astype(jnp.float64)
             volumes = jnp.asarray(grid.volumes, jnp.float64)
-            jfac = self.luminosity / (self.n_photons * volumes)
+            jfac = self.luminosity / (n_total * volumes)
             hfac = jfac * constants.PLANCK
             j = {
                 name: integrals[i] * jfac
@@ -844,7 +886,9 @@ class HOnlyVoronoiSimulation:
         n_photons: int,
         initial_neutral_fraction: float = 1.0e-6,
         seed: int = 42,
+        mesh=None,
     ):
+        self.mesh = mesh
         self.grid = grid
         gen_si = (grid.generators * grid.scale
                   + np.asarray(grid.geometry.anchor))
@@ -895,29 +939,53 @@ class HOnlyVoronoiSimulation:
         src_u = ((np.asarray(self.source_position)
                   - np.asarray(grid.geometry.anchor)) / grid.scale)
         src_cell = int(grid.locate(src_u)[0])
+        dp_trace = None
+        n_total = self.n_photons
+        if self.mesh is not None:
+            # photon data parallelism: replicated tessellation, packet
+            # count split over the mesh (the reference's MPI mode for
+            # unstructured grids, IonizationSimulation.cpp:395-529)
+            from cmacionize_tpu.parallel.photon_dp import (
+                make_voronoi_dp_trace,
+            )
+
+            n_dev = int(self.mesh.devices.size)
+            per_dev = -(-self.n_photons // n_dev)
+            n_total = per_dev * n_dev
+            dp_trace = make_voronoi_dp_trace(
+                self.mesh, grid,
+                n_photons_per_device=per_dev,
+                src_u=src_u, src_cell=src_cell,
+            )
         jfac = jnp.asarray(
             self.luminosity * self.cross_section
-            / (self.n_photons * np.asarray(grid.volumes, np.float64)),
+            / (n_total * np.asarray(grid.volumes, np.float64)),
             jnp.float32,
         )
         for _ in range(n_iterations):
-            self.key, k1, k2 = jax.random.split(self.key, 3)
-            dirn = jax.random.normal(k1, (self.n_photons, 3))
-            dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
-            tau = -jnp.log(
-                1.0 - jax.random.uniform(k2, (self.n_photons,)))
-            pos = jnp.tile(jnp.asarray(src_u, jnp.float32), (self.n_photons, 1))
-            packets = VoronoiPacketBatch(
-                pos, dirn.astype(jnp.float32),
-                jnp.full(self.n_photons, src_cell, jnp.int32),
-                tau.astype(jnp.float32),
-                jnp.ones(self.n_photons, jnp.float32),
-                jnp.ones(self.n_photons, bool),
-                jnp.zeros(self.n_photons, bool),
-            )
             chi_si = (self.number_density * self.neutral_fraction
                       * self.cross_section)
-            tally, _ = trace_packets_voronoi(grid, chi_si, packets)
+            if dp_trace is not None:
+                keys = jax.random.split(self.key, n_dev + 1)
+                self.key = keys[0]
+                tally, _ = dp_trace(keys[1:], chi_si)
+            else:
+                self.key, k1, k2 = jax.random.split(self.key, 3)
+                dirn = jax.random.normal(k1, (self.n_photons, 3))
+                dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+                tau = -jnp.log(
+                    1.0 - jax.random.uniform(k2, (self.n_photons,)))
+                pos = jnp.tile(
+                    jnp.asarray(src_u, jnp.float32), (self.n_photons, 1))
+                packets = VoronoiPacketBatch(
+                    pos, dirn.astype(jnp.float32),
+                    jnp.full(self.n_photons, src_cell, jnp.int32),
+                    tau.astype(jnp.float32),
+                    jnp.ones(self.n_photons, jnp.float32),
+                    jnp.ones(self.n_photons, bool),
+                    jnp.zeros(self.n_photons, bool),
+                )
+                tally, _ = trace_packets_voronoi(grid, chi_si, packets)
             jH = tally * jfac
             self.neutral_fraction = ionization.hydrogen_neutral_fraction(
                 jH, self.number_density, self.alpha)
