@@ -114,13 +114,13 @@ def _hull_volume_centroid(verts: np.ndarray, interior: np.ndarray):
     from scipy.spatial import ConvexHull
 
     hull = ConvexHull(verts)
-    vol_total = 0.0
-    cen_total = np.zeros(3)
-    for simplex in hull.simplices:
-        a, b, c = verts[simplex]
-        v = abs(np.dot(a - interior, np.cross(b - interior, c - interior))) / 6.0
-        vol_total += v
-        cen_total += v * (a + b + c + interior) / 4.0
+    tri = verts[hull.simplices]  # [m, 3, 3]
+    a = tri[:, 0] - interior
+    b = tri[:, 1] - interior
+    c = tri[:, 2] - interior
+    v = np.abs(np.einsum("ij,ij->i", a, _cross3(b, c))) / 6.0
+    vol_total = float(v.sum())
+    cen_total = ((tri.sum(axis=1) + interior) / 4.0 * v[:, None]).sum(axis=0)
     return vol_total, cen_total / max(vol_total, 1e-300)
 
 
@@ -228,25 +228,49 @@ def rebuild_voronoi_grid(geometry: GridGeometry, generators) -> VoronoiGrid:
         return _tessellate(geometry, pts, box, scale, margin=None)
 
 
+def _cross3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """np.cross without its moveaxis overhead (hot in grid construction)."""
+    return np.stack([
+        a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+        a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+        a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+    ], axis=-1)
+
+
 def _polygon_area(verts: np.ndarray) -> float:
     """Area of a planar convex polygon given its (unordered) 3D vertices."""
     if len(verts) < 3:
         return 0.0
-    c = verts.mean(axis=0)
-    rel = verts - c
-    # plane basis from the two largest principal directions
-    normal = np.cross(rel[1] - rel[0], rel[2] - rel[0])
-    nn = np.linalg.norm(normal)
-    if nn < 1e-300:
-        return 0.0
-    normal /= nn
-    e1 = rel[0] / max(np.linalg.norm(rel[0]), 1e-300)
-    e2 = np.cross(normal, e1)
-    ang = np.arctan2(rel @ e2, rel @ e1)
-    order = np.argsort(ang)
-    rel = rel[order]
-    cross = np.cross(rel, np.roll(rel, -1, axis=0))
-    return 0.5 * abs(float(np.sum(cross @ normal)))
+    return float(_polygon_areas_batch(verts[None])[0])
+
+
+def _polygon_areas_batch(polys: np.ndarray) -> np.ndarray:
+    """Areas of [M, L, 3] planar convex polygons (unordered vertices).
+
+    Vectorized across M: order each polygon's vertices by angle in its own
+    plane basis, then the shoelace sum — identical math to the scalar
+    version it replaces, batched because the per-face area pass dominates
+    host-side tessellation time at 10^4+ generators.
+    """
+    if polys.shape[1] < 3:
+        return np.zeros(len(polys))
+    c = polys.mean(axis=1, keepdims=True)
+    rel = polys - c  # [M, L, 3]
+    normal = _cross3(rel[:, 1] - rel[:, 0], rel[:, 2] - rel[:, 0])
+    nn = np.linalg.norm(normal, axis=1, keepdims=True)
+    ok = nn[:, 0] >= 1e-300
+    normal = normal / np.maximum(nn, 1e-300)
+    e1 = rel[:, 0] / np.maximum(
+        np.linalg.norm(rel[:, 0], axis=1, keepdims=True), 1e-300)
+    e2 = _cross3(normal, e1)
+    ang = np.arctan2(
+        np.einsum("mlc,mc->ml", rel, e2),
+        np.einsum("mlc,mc->ml", rel, e1))
+    order = np.argsort(ang, axis=1)
+    rel = np.take_along_axis(rel, order[:, :, None], axis=1)
+    cross = _cross3(rel, np.roll(rel, -1, axis=1))
+    area = 0.5 * np.abs(np.einsum("mlc,mc->m", cross, normal))
+    return np.where(ok, area, 0.0)
 
 
 def _tessellate(geometry, pts, box, scale, margin=None) -> VoronoiGrid:
@@ -326,38 +350,61 @@ def _tessellate(geometry, pts, box, scale, margin=None) -> VoronoiGrid:
                  else np.zeros((0, 3)))
     vor = Voronoi(allpts)
 
-    # per cell: (nbr, normal, offset, shift, A, face centroid)
+    # per cell: (nbr, normal, offset, shift, A, face centroid).  The ridge
+    # pass is vectorized (it dominates host construction time at 10^4+
+    # generators): per-ridge geometry in batched numpy, then a light
+    # append loop over the sides that belong to original cells.
+    rp = np.asarray(vor.ridge_points)
+    # ridges touching at least one original cell (image-image ridges — the
+    # overwhelming majority under full 27x imaging — are skipped entirely)
+    rel = np.flatnonzero(
+        ((rp[:, 0] < n) | (rp[:, 1] < n))
+        & (np.linalg.norm(allpts[rp[:, 1]] - allpts[rp[:, 0]], axis=1)
+           >= 1e-14))
+    mids_r = 0.5 * (allpts[rp[rel, 0]] + allpts[rp[rel, 1]])
+    d_r = allpts[rp[rel, 1]] - allpts[rp[rel, 0]]
+    normals0_r = d_r / np.linalg.norm(d_r, axis=1)[:, None]
+    offsets0_r = np.einsum("ij,ij->i", normals0_r, mids_r)
+    # face polygon area + true centroid, computed once per ridge (shared by
+    # both sides).  On irregular meshes the bisector midpoint can sit far
+    # off (or outside) the face, which biases second-order flux evaluation
+    # points — hence the true polygon centroid.
+    areas_r = np.zeros(len(rel))
+    fcs_r = mids_r.copy()
+    ridge_vertices = vor.ridge_vertices
+    # group the relevant ridges by polygon vertex count and batch each
+    # group through the vectorized area kernel (unbounded far-image ridges
+    # — any with a -1 vertex — keep area 0: never a real face)
+    by_len = {}
+    for j, ri in enumerate(rel):
+        rv = ridge_vertices[ri]
+        if -1 in rv or len(rv) < 3:
+            continue
+        by_len.setdefault(len(rv), []).append((j, rv))
+    for length, items in by_len.items():
+        idx = np.fromiter((j for j, _ in items), np.int64, len(items))
+        polys = vor.vertices[np.array([rv for _, rv in items])]
+        areas_r[idx] = _polygon_areas_batch(polys)
+        fcs_r[idx] = polys.mean(axis=1)
+
     faces = [[] for _ in range(n)]
-    for (p, q), ridge_verts in zip(vor.ridge_points, vor.ridge_vertices):
-        for a, b in ((p, q), (q, p)):
+    zero3 = np.zeros(3)
+    for j, ri in enumerate(rel):
+        p, q = rp[ri]
+        for side in (0, 1):
+            a, b = (p, q) if side == 0 else (q, p)
             if a >= n:
                 continue
-            ga = allpts[a]
-            gb = allpts[b]
-            d = gb - ga
-            norm = np.linalg.norm(d)
-            if norm < 1e-14:
-                continue
-            normal = d / norm
-            mid = 0.5 * (ga + gb)
-            offset = float(np.dot(normal, mid))
             if b < n:
-                nbr, shift = int(b), np.zeros(3)
+                nbr, shift = int(b), zero3
             else:
                 is_wall = bool(ext_wall[b - n])
                 shift = ext_shift[b - n]
                 nbr = -1 if is_wall else int(ext_orig[b - n])
-            if -1 in ridge_verts:
-                area = 0.0  # unbounded far-image ridge (never a real face)
-                fc = mid
-            else:
-                verts = vor.vertices[ridge_verts]
-                area = _polygon_area(verts)
-                # the true polygon centroid: on irregular meshes the
-                # bisector midpoint can sit far off (or outside) the face,
-                # which biases second-order flux evaluation points
-                fc = verts.mean(axis=0) if len(verts) else mid
-            faces[a].append((nbr, normal, offset, shift, area, fc))
+            normal = normals0_r[j] if side == 0 else -normals0_r[j]
+            offset = offsets0_r[j] if side == 0 else -offsets0_r[j]
+            faces[a].append((
+                nbr, normal, offset, shift, areas_r[j], fcs_r[j]))
 
     k_max = max(len(f) for f in faces)
     neighbors = np.full((n, k_max), -2, np.int32)
