@@ -551,7 +551,27 @@ def main(argv=None):
     parser.add_argument(
         "--dry", action="store_true", help="parse configuration and exit"
     )
+    parser.add_argument(
+        "--version", action="store_true", help="print the version and exit"
+    )
+    parser.add_argument(
+        "--use-version", default="",
+        help="abort unless the running framework version matches exactly "
+             "(reproducible remote workflows, cf. the reference's "
+             "CMacIonize.cpp:215-227)",
+    )
     args = parser.parse_args(argv)
+
+    import cmacionize_tpu as _pkg
+
+    if args.version:
+        print(_pkg.__version__)
+        return 0
+    if args.use_version and args.use_version != _pkg.__version__:
+        sys.stderr.write(
+            f"version mismatch: running {_pkg.__version__}, "
+            f"--use-version requested {args.use_version}\n")
+        return 1
 
     log = TerminalLog("info" if args.verbose else "status")
     if not args.params and not args.emission:
