@@ -355,6 +355,8 @@ def _run_rhd(params, log, seed, n_devices_flag=0):
     from cmacionize_tpu.ops import hydro as hydro_mod
 
     n_dev, tiling = _parallel_config(params, n_devices_flag)
+    if params.get_string("DensityGrid:type", "Cartesian") == "Voronoi":
+        return _run_rhd_voronoi(params, log, seed, n_dev)
     if n_dev > 1:
         from cmacionize_tpu.models.rhd_simulation import ShardedRHDSimulation
 
@@ -403,6 +405,141 @@ def _run_rhd(params, log, seed, n_devices_flag=0):
             live_output=live_output)
     if live_output is not None:
         log.status(f"wrote {len(live_output.written)} live output file(s)")
+
+
+def _run_rhd_voronoi(params, log, seed, n_dev=1):
+    """``--rhd`` with ``DensityGrid:type: Voronoi`` — the starbench_voronoi
+    mode (the reference plugs VoronoiDensityGrid into the same RHD driver,
+    /root/reference/benchmarks/starbench_voronoi.param).  Fixed-dt loop at
+    the parameter file's maximum timestep; ``Parallel:`` shards the
+    radiation phase via replicated-grid photon DP."""
+    import numpy as np
+
+    from cmacionize_tpu import constants
+    from cmacionize_tpu.io.gadget import write_gadget_snapshot
+    from cmacionize_tpu.models import voronoi
+    from cmacionize_tpu.models.grid import GridGeometry
+    from cmacionize_tpu.models.voronoi_hydro import VoronoiRHDSimulation
+
+    geometry = GridGeometry.from_params(params)
+    rng = np.random.default_rng(
+        params.get_int("DensityGrid:VoronoiGeneratorDistribution:random seed",
+                       seed))
+    generators = voronoi.generators_from_params(params, rng)
+    grid = voronoi.build_voronoi_grid(
+        geometry, generators,
+        num_lloyd=params.get_int(
+            "DensityGrid:number of Lloyd iterations", 0))
+    log.status(f"Voronoi grid: {grid.n_cells} cells "
+               f"(k_max {grid.max_faces})")
+
+    # structured ICs sampled at the generators (BlockSyntax etc.)
+    gen_si = (grid.generators * grid.scale + np.asarray(geometry.anchor))
+    if params.get_string(
+            "DensityFunction:type", "Homogeneous") == "Homogeneous":
+        nd0 = params.get_physical_value(
+            "DensityFunction:density", "number density", "100. cm^-3")
+        T0 = params.get_physical_value(
+            "DensityFunction:temperature", "temperature", "8000. K")
+    else:
+        from cmacionize_tpu.models.density_functions import (
+            density_function_from_params,
+        )
+
+        df = density_function_from_params(params, geometry)
+        _nd = np.asarray(df.number_density)
+        _T = np.asarray(df.temperature)
+        idx = np.clip(
+            ((gen_si - np.asarray(geometry.anchor))
+             / np.asarray(geometry.cell_size)).astype(int),
+            0, np.asarray(geometry.shape) - 1)
+        nd0 = _nd[tuple(idx.T)]
+        T0 = _T[tuple(idx.T)]
+
+    total_time = params.get_physical_value(
+        "RadiationHydrodynamicsSimulation:total time", "time")
+    dt = params.get_physical_value(
+        "RadiationHydrodynamicsSimulation:maximum timestep", "time",
+        f"{total_time / 256} s")
+    n_steps = max(1, int(round(total_time / dt)))
+    snap_time = params.get_physical_value(
+        "RadiationHydrodynamicsSimulation:snapshot time", "time", "-1. s")
+    if snap_time <= 0:
+        snap_time = total_time / 10.0
+    snap_every = max(1, int(round(snap_time / dt)))
+
+    mesh = None
+    if n_dev > 1:
+        from cmacionize_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev, axis_names=("ph",))
+        log.status(f"photon data parallelism: {n_dev} devices, "
+                   "replicated Voronoi grid (radiation phase)")
+
+    sim = VoronoiRHDSimulation(
+        grid,
+        gamma=params.get_number(
+            "HydroIntegrator:polytropic index", 5.0 / 3.0),
+        timestep=dt,
+        luminosity=params.get_physical_value(
+            "PhotonSourceDistribution:luminosity", "frequency", "1.e48 s^-1"),
+        source_position=tuple(params.get_physical_vector(
+            "PhotonSourceDistribution:position", "length",
+            ["0. m", "0. m", "0. m"])),
+        cross_section=params.get_physical_value(
+            "CrossSections:hydrogen_0", "surface area", "6.3e-18 cm^2"),
+        recombination_rate=params.get_physical_value(
+            "RecombinationRates:hydrogen_1", "reaction rate",
+            "2.7e-13 cm^3 s^-1"),
+        n_photons=params.get_int(
+            "RadiationHydrodynamicsSimulation:number of photons", 100000),
+        nloop=params.get_int(
+            "RadiationHydrodynamicsSimulation:number of iterations", 10),
+        number_density=nd0,
+        temperature=T0,
+        mesh_motion=params.get_bool("DensityGrid:moving mesh", False),
+        seed=seed,
+        mesh=mesh,
+    )
+
+    prefix = params.get_string("DensityGridWriter:prefix", "snapshot_")
+    padding = params.get_int("DensityGridWriter:padding", 3)
+    folder = params.get_string(
+        "RadiationHydrodynamicsSimulation:output folder",
+        params.get_string("DensityGridWriter:folder", "."))
+    coords = gen_si - np.asarray(geometry.anchor)
+
+    def write_numbered(index):
+        from cmacionize_tpu.ops import hydro as hydro_mod  # noqa: F401
+
+        inv_rho = 1.0 / np.maximum(np.asarray(sim.state.rho), 1e-300)
+        name = os.path.join(folder, f"{prefix}{index:0{padding}d}.hdf5")
+        write_gadget_snapshot(
+            name, geometry, {
+                "NumberDensity": (
+                    np.asarray(sim.state.rho) / constants.PROTON_MASS),
+                "Density": np.asarray(sim.state.rho),
+                "Velocities": np.stack([
+                    np.asarray(sim.state.mom_x) * inv_rho,
+                    np.asarray(sim.state.mom_y) * inv_rho,
+                    np.asarray(sim.state.mom_z) * inv_rho], axis=-1),
+                "NeutralFractionH": np.asarray(sim.neutral_fraction),
+                "Volumes": np.asarray(sim.grid.volumes),
+            }, sim.time, coordinates=coords)
+        log.status(f"wrote snapshot {name} (t = {sim.time:.6g} s)")
+
+    write_numbered(0)
+    done = 0
+    index = 1
+    while done < n_steps:
+        chunk = min(snap_every, n_steps - done)
+        sim.run(chunk, log=log.status)
+        done += chunk
+        write_numbered(index)
+        index += 1
+    log.status(
+        f"ionization front radius {sim.ionization_front_radius():.4g} m "
+        f"at t = {sim.time:.6g} s")
 
 
 def _run_dust(params, log, seed):

@@ -26,19 +26,30 @@ def write_gadget_snapshot(
     geometry: GridGeometry,
     fields: Dict[str, np.ndarray],
     time: float = 0.0,
+    coordinates: np.ndarray = None,
 ) -> None:
     """Write cell-centered fields to a Gadget-layout HDF5 snapshot.
 
     fields: dataset name → [nx, ny, nz] array (or [nx,ny,nz,3] for vectors).
     Typical names: NumberDensity, Temperature, NeutralFractionH,
     NeutralFractionHe, Density, Velocities, Pressure.
+
+    coordinates: optional explicit [C, 3] SI cell positions relative to the
+    box anchor (unstructured grids — Voronoi cells, AMR leaves; the
+    reference's Gadget writer records whatever cell midpoints the grid
+    iterator yields, GadgetDensityGridWriter.cpp:122-380).  Fields are then
+    flat [C] / [C, 3] arrays.
     """
     import h5py
 
-    n_cells = geometry.n_cells
-    coordinates = (
-        geometry.cell_centers() - np.asarray(geometry.anchor)
-    ).reshape(-1, 3)
+    if coordinates is None:
+        n_cells = geometry.n_cells
+        coordinates = (
+            geometry.cell_centers() - np.asarray(geometry.anchor)
+        ).reshape(-1, 3)
+    else:
+        coordinates = np.asarray(coordinates).reshape(-1, 3)
+        n_cells = len(coordinates)
 
     with h5py.File(filename, "w") as handle:
         header = handle.create_group("Header")

@@ -491,9 +491,18 @@ class VoronoiRHDSimulation:
                  n_photons, nloop, number_density, temperature,
                  neutral_temperature=100.0, ionised_temperature=1.0e4,
                  shock_temperature=3.0e4, mesh_motion=False,
-                 second_order=True, seed=42):
+                 second_order=True, seed=42, mesh=None):
         from cmacionize_tpu import constants
 
+        if mesh is not None and mesh_motion:
+            # a Lagrangian re-tessellation changes the replicated cell
+            # tables every step, forcing a re-trace per step — not
+            # supported; shard only static-mesh radiation
+            raise NotImplementedError(
+                "photon-DP radiation requires a static mesh "
+                "(mesh_motion=False)")
+        self.mesh = mesh
+        self._dp_trace = None
         self.grid = grid
         self.gamma = float(gamma)
         self.dt = float(timestep)
@@ -516,12 +525,18 @@ class VoronoiRHDSimulation:
         self.key = jax.random.PRNGKey(seed)
 
         C = grid.n_cells
-        rho0 = number_density * constants.PROTON_MASS
-        p0 = number_density * constants.BOLTZMANN * temperature
+        # scalars OR per-cell [C] arrays (structured ICs sampled at the
+        # generators, cf. the reference's DensityFunction evaluation per
+        # Voronoi cell)
+        nd0 = jnp.broadcast_to(
+            jnp.asarray(number_density, jnp.float32), (C,))
+        T0 = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (C,))
+        rho0 = nd0 * constants.PROTON_MASS
+        p0 = nd0 * constants.BOLTZMANN * T0
         self.state = conserved_from_primitives(
-            jnp.full(C, rho0, jnp.float32), jnp.zeros(C, jnp.float32),
+            rho0, jnp.zeros(C, jnp.float32),
             jnp.zeros(C, jnp.float32), jnp.zeros(C, jnp.float32),
-            jnp.full(C, p0, jnp.float32), grid.volumes, self.gamma)
+            p0, grid.volumes, self.gamma)
         self.neutral_fraction = jnp.ones(C, jnp.float32)
         self.time = 0.0
 
@@ -550,6 +565,7 @@ class VoronoiRHDSimulation:
         arrays, scalars = RestartManager.load(filename)
         self.grid = rebuild_voronoi_grid(
             self.grid.geometry, np.asarray(arrays["generators"]))
+        self._dp_trace = None  # re-bind the DP trace to the rebuilt tables
         self.state = VoronoiHydroState(
             rho=jnp.asarray(arrays["rho"]),
             mom_x=jnp.asarray(arrays["mom_x"]),
@@ -573,27 +589,51 @@ class VoronoiRHDSimulation:
         src_u = ((self.source_position - np.asarray(grid.geometry.anchor))
                  / grid.scale)
         src_cell = int(grid.locate(src_u)[0])
+        n_total = self.n_photons
+        n_dev = 1
+        if self.mesh is not None:
+            # photon-DP radiation: replicated static tessellation, packet
+            # shares per device, tallies psum'd (the radiation phase
+            # dominates these workloads — 86% of the reference's
+            # starbench_voronoi wall clock)
+            n_dev = int(self.mesh.devices.size)
+            per_dev = -(-self.n_photons // n_dev)
+            n_total = per_dev * n_dev
+            if self._dp_trace is None:
+                from cmacionize_tpu.parallel.photon_dp import (
+                    make_voronoi_dp_trace,
+                )
+
+                self._dp_trace = make_voronoi_dp_trace(
+                    self.mesh, grid, n_photons_per_device=per_dev,
+                    src_u=src_u, src_cell=src_cell)
         jfac = jnp.asarray(
             self.luminosity * self.sigma
-            / (self.n_photons * np.asarray(grid.volumes, np.float64)),
+            / (n_total * np.asarray(grid.volumes, np.float64)),
             jnp.float32)
         xh = self.neutral_fraction
         for _ in range(self.nloop):
-            key, k1, k2 = jax.random.split(key, 3)
-            dirn = jax.random.normal(k1, (self.n_photons, 3))
-            dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
-            tau = -jnp.log(1.0 - jax.random.uniform(k2, (self.n_photons,)))
-            pos = jnp.tile(jnp.asarray(src_u, jnp.float32),
-                           (self.n_photons, 1))
-            packets = VoronoiPacketBatch(
-                pos, dirn.astype(jnp.float32),
-                jnp.full(self.n_photons, src_cell, jnp.int32),
-                tau.astype(jnp.float32),
-                jnp.ones(self.n_photons, jnp.float32),
-                jnp.ones(self.n_photons, bool),
-                jnp.zeros(self.n_photons, bool))
             chi_si = nd * xh * self.sigma
-            tally, _ = trace_packets_voronoi(grid, chi_si, packets)
+            if self._dp_trace is not None:
+                keys = jax.random.split(key, n_dev + 1)
+                key = keys[0]
+                tally, _ = self._dp_trace(keys[1:], chi_si)
+            else:
+                key, k1, k2 = jax.random.split(key, 3)
+                dirn = jax.random.normal(k1, (self.n_photons, 3))
+                dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+                tau = -jnp.log(
+                    1.0 - jax.random.uniform(k2, (self.n_photons,)))
+                pos = jnp.tile(jnp.asarray(src_u, jnp.float32),
+                               (self.n_photons, 1))
+                packets = VoronoiPacketBatch(
+                    pos, dirn.astype(jnp.float32),
+                    jnp.full(self.n_photons, src_cell, jnp.int32),
+                    tau.astype(jnp.float32),
+                    jnp.ones(self.n_photons, jnp.float32),
+                    jnp.ones(self.n_photons, bool),
+                    jnp.zeros(self.n_photons, bool))
+                tally, _ = trace_packets_voronoi(grid, chi_si, packets)
             xh = ionization.hydrogen_neutral_fraction(
                 tally * jfac, nd, self.alpha)
         return xh

@@ -149,6 +149,59 @@ def test_cli_voronoi_parallel_block(tmp_path, monkeypatch):
     assert xh.ndim == 1 and (xh > 0).all() and (xh <= 1).all()
 
 
+def test_cli_voronoi_rhd(tmp_path, monkeypatch):
+    """``--rhd`` + ``DensityGrid:type: Voronoi`` runs the Voronoi RHD
+    driver (starbench_voronoi mode) end-to-end, writing the numbered
+    Gadget snapshot series with per-cell coordinates; ``Parallel:`` shards
+    the radiation phase via photon DP."""
+    monkeypatch.chdir(tmp_path)
+    param_file = tmp_path / "sbv.param"
+    param_file.write_text(
+        "CrossSections:\n"
+        "  type: FixedValue\n"
+        "  hydrogen_0: 6.3e-18 cm^2\n"
+        "RecombinationRates:\n"
+        "  type: FixedValue\n"
+        "  hydrogen_1: 2.7e-13 cm^3 s^-1\n"
+        "DensityFunction:\n"
+        "  density: 3113. cm^-3\n"
+        "  temperature: 100. K\n"
+        "DensityGrid:\n"
+        "  type: Voronoi\n"
+        "  VoronoiGeneratorDistribution:\n"
+        "    type: UniformRandom\n"
+        "    number of positions: 600\n"
+        "DensityGridWriter:\n"
+        "  prefix: sbv_\n"
+        "HydroIntegrator:\n"
+        "  polytropic index: 1.0001\n"
+        "PhotonSourceDistribution:\n"
+        "  luminosity: 1.e+49 Hz\n"
+        "  position: [0. pc, 0. pc, 0. pc]\n"
+        "RadiationHydrodynamicsSimulation:\n"
+        "  number of iterations: 3\n"
+        "  number of photons: 8000\n"
+        "  total time: 0.00282 Myr\n"
+        "  minimum timestep: 0.000705 Myr\n"
+        "  maximum timestep: 0.000705 Myr\n"
+        "SimulationBox:\n"
+        "  anchor: [-1.256 pc, -1.256 pc, -1.256 pc]\n"
+        "  sides: [2.512 pc, 2.512 pc, 2.512 pc]\n"
+        "Parallel:\n"
+        "  number of devices: 8\n"
+    )
+    from cmacionize_tpu import cli
+    from cmacionize_tpu.io.gadget import read_gadget_snapshot
+
+    assert cli.main(["--rhd", "--params", str(param_file)]) == 0
+    _box, coords, fields = read_gadget_snapshot(
+        str(tmp_path / "sbv_004.hdf5"))
+    assert len(coords) == 600
+    xh = fields["NeutralFractionH"]
+    assert (xh < 0.5).any() and (xh > 0.5).any()  # front inside the box
+    assert fields["Density"].min() > 0
+
+
 def test_cli_amr_parallel_block(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     param_file = tmp_path / "amr_par.param"
