@@ -334,7 +334,26 @@ def _run_ionization_special_grid(params, log, seed, grid_type, mesh=None):
     log.status(f"wrote per-cell neutral fractions -> {out}")
 
 
-def _run_rhd(params, log, seed, n_devices_flag=0):
+def _restart_manager_from_params(params, default_path="."):
+    """RestartManager from the reference's parameter block
+    (/root/reference/src/RestartManager.hpp:108-122: path, output interval,
+    maximum number of backups, maximum time, resubmit command)."""
+    from cmacionize_tpu.io.restart import RestartManager
+
+    return RestartManager(
+        path=params.get_string("RestartManager:path", default_path),
+        interval_seconds=params.get_physical_value(
+            "RestartManager:output interval", "time", "3600. s"),
+        max_keep=params.get_int(
+            "RestartManager:maximum number of backups", 1) + 1,
+        max_walltime=params.get_physical_value(
+            "RestartManager:maximum time", "time", "118. h"),
+        resubmit_command=params.get_string(
+            "RestartManager:resubmit command", ""),
+    )
+
+
+def _run_rhd(params, log, seed, n_devices_flag=0, restart_folder=""):
     """Radiation hydrodynamics (starbench/bondi-class problems).
 
     All physics selection — external potentials, self-gravity, cooling,
@@ -356,7 +375,7 @@ def _run_rhd(params, log, seed, n_devices_flag=0):
 
     n_dev, tiling = _parallel_config(params, n_devices_flag)
     if params.get_string("DensityGrid:type", "Cartesian") == "Voronoi":
-        return _run_rhd_voronoi(params, log, seed, n_dev)
+        return _run_rhd_voronoi(params, log, seed, n_dev, restart_folder)
     if n_dev > 1:
         from cmacionize_tpu.models.rhd_simulation import ShardedRHDSimulation
 
@@ -400,14 +419,26 @@ def _run_rhd(params, log, seed, n_devices_flag=0):
     from cmacionize_tpu.models.trackers import LiveOutputManager
 
     live_output = LiveOutputManager.from_params(params, geometry, folder)
-    write_numbered(sim, 0)  # initial state (cf. reference snapshot 0, :473)
+    # hourly binary checkpoints, like the reference RHD loop (:685-728);
+    # --restart <folder> resumes from the latest dump there
+    restart_mgr = _restart_manager_from_params(params, default_path=folder)
+    if restart_folder:
+        from cmacionize_tpu.io.restart import RestartManager
+
+        latest = RestartManager(path=restart_folder).latest()
+        if latest is None:
+            raise SystemExit(f"no restart file found in {restart_folder}")
+        sim.load_restart(latest)
+        log.status(f"resumed from {latest} at t = {sim.time:.6g} s")
+    else:
+        write_numbered(sim, 0)  # initial state (cf. reference snapshot 0)
     sim.run(snapshot_callback=write_numbered, statistics=statistics,
-            live_output=live_output)
+            live_output=live_output, restart_manager=restart_mgr)
     if live_output is not None:
         log.status(f"wrote {len(live_output.written)} live output file(s)")
 
 
-def _run_rhd_voronoi(params, log, seed, n_dev=1):
+def _run_rhd_voronoi(params, log, seed, n_dev=1, restart_folder=""):
     """``--rhd`` with ``DensityGrid:type: Voronoi`` — the starbench_voronoi
     mode (the reference plugs VoronoiDensityGrid into the same RHD driver,
     /root/reference/benchmarks/starbench_voronoi.param).  Fixed-dt loop at
@@ -528,15 +559,38 @@ def _run_rhd_voronoi(params, log, seed, n_dev=1):
             }, sim.time, coordinates=coords)
         log.status(f"wrote snapshot {name} (t = {sim.time:.6g} s)")
 
-    write_numbered(0)
+    from cmacionize_tpu.utils import signals
+
+    restart_mgr = _restart_manager_from_params(params, default_path=folder)
     done = 0
-    index = 1
+    if restart_folder:
+        from cmacionize_tpu.io.restart import RestartManager
+
+        latest = RestartManager(path=restart_folder).latest()
+        if latest is None:
+            raise SystemExit(f"no restart file found in {restart_folder}")
+        sim.load_restart(latest)
+        done = int(round(sim.time / dt))
+        log.status(f"resumed from {latest} at t = {sim.time:.6g} s "
+                   f"(step {done})")
+    else:
+        write_numbered(0)
+    signals.install()
+    index = done // snap_every + 1
     while done < n_steps:
-        chunk = min(snap_every, n_steps - done)
+        chunk = min(snap_every - done % snap_every, n_steps - done)
         sim.run(chunk, log=log.status)
         done += chunk
-        write_numbered(index)
-        index += 1
+        if done % snap_every == 0 or done == n_steps:
+            write_numbered(index)
+            index += 1
+        stopping = signals.stop_requested() or restart_mgr.want_stop()
+        if restart_mgr.due() or stopping:
+            sim.write_restart(restart_mgr)
+        if stopping:
+            restart_mgr.on_stop()
+            log.warning("graceful stop requested; exiting time loop")
+            break
     log.status(
         f"ionization front radius {sim.ionization_front_radius():.4g} m "
         f"at t = {sim.time:.6g} s")
@@ -692,6 +746,11 @@ def main(argv=None):
         "--version", action="store_true", help="print the version and exit"
     )
     parser.add_argument(
+        "--restart", default="", metavar="FOLDER",
+        help="resume an --rhd run from the latest restart dump in FOLDER "
+             "(cf. the reference's --restart flag, CMacIonize.cpp:90-91)",
+    )
+    parser.add_argument(
         "--use-version", default="",
         help="abort unless the running framework version matches exactly "
              "(reproducible remote workflows, cf. the reference's "
@@ -729,8 +788,11 @@ def main(argv=None):
     if args.dry:
         log.status("dry run: configuration parsed OK")
         return 0
+    if args.restart and not (args.rhd or args.task_based_rhd):
+        parser.error("--restart is only supported with --rhd")
     if args.rhd or args.task_based_rhd:
-        _run_rhd(params, log, args.seed, n_devices_flag=args.devices)
+        _run_rhd(params, log, args.seed, n_devices_flag=args.devices,
+                 restart_folder=args.restart)
     elif args.dusty_radiative_transfer:
         _run_dust(params, log, args.seed)
     elif args.emission:

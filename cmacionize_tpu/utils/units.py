@@ -73,6 +73,7 @@ _UNITS = {
     "Msun": _u(1.9891e30, kg=1),
     "amu": _u(1.66053904e-27, kg=1),
     # time
+    "h": _u(3600.0, s=1),
     "yr": _u(365.25 * 24.0 * 3600.0, s=1),
     "kyr": _u(365.25 * 24.0 * 3600.0 * 1e3, s=1),
     "Myr": _u(365.25 * 24.0 * 3600.0 * 1e6, s=1),

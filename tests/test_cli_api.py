@@ -341,3 +341,71 @@ DensityGridWriter:
     assert data[:, 1].sum() > 0  # primary crossings recorded
     text = absorption.read_text()
     assert text.startswith("# Ion") and "H_n" in text
+
+
+def _voronoi_rhd_param(total_myr):
+    return (
+        "CrossSections:\n"
+        "  type: FixedValue\n"
+        "  hydrogen_0: 6.3e-18 cm^2\n"
+        "RecombinationRates:\n"
+        "  type: FixedValue\n"
+        "  hydrogen_1: 2.7e-13 cm^3 s^-1\n"
+        "DensityFunction:\n"
+        "  density: 3113. cm^-3\n"
+        "  temperature: 100. K\n"
+        "DensityGrid:\n"
+        "  type: Voronoi\n"
+        "  VoronoiGeneratorDistribution:\n"
+        "    type: UniformRandom\n"
+        "    number of positions: 500\n"
+        "HydroIntegrator:\n"
+        "  polytropic index: 1.0001\n"
+        "PhotonSourceDistribution:\n"
+        "  luminosity: 1.e+49 Hz\n"
+        "  position: [0. pc, 0. pc, 0. pc]\n"
+        "RadiationHydrodynamicsSimulation:\n"
+        "  number of iterations: 2\n"
+        "  number of photons: 4000\n"
+        f"  total time: {total_myr} Myr\n"
+        "  minimum timestep: 0.000705 Myr\n"
+        "  maximum timestep: 0.000705 Myr\n"
+        "RestartManager:\n"
+        "  output interval: 0. s\n"
+        "SimulationBox:\n"
+        "  anchor: [-1.256 pc, -1.256 pc, -1.256 pc]\n"
+        "  sides: [2.512 pc, 2.512 pc, 2.512 pc]\n"
+    )
+
+
+def test_cli_rhd_voronoi_restart_resume(tmp_path, monkeypatch):
+    """--restart resumes a Voronoi RHD run bit-for-bit: a 2-step run's
+    checkpoint continued for 2 more steps matches an uninterrupted 4-step
+    run (the kill-and-resume guarantee of the reference's RestartManager,
+    /root/reference/src/RestartManager.hpp:108-122)."""
+    import numpy as np
+
+    from cmacionize_tpu import cli
+    from cmacionize_tpu.io.gadget import read_gadget_snapshot
+
+    full = tmp_path / "full"
+    half = tmp_path / "half"
+    full.mkdir()
+    half.mkdir()
+
+    monkeypatch.chdir(full)
+    (full / "p.param").write_text(_voronoi_rhd_param(0.00282))
+    assert cli.main(["--rhd", "-p", "p.param"]) == 0
+
+    monkeypatch.chdir(half)
+    (half / "p1.param").write_text(_voronoi_rhd_param(0.00141))
+    assert cli.main(["--rhd", "-p", "p1.param"]) == 0
+    # continue the checkpointed state to the full time
+    (half / "p2.param").write_text(_voronoi_rhd_param(0.00282))
+    assert cli.main(["--rhd", "-p", "p2.param", "--restart", "."]) == 0
+
+    _b, _c, f_full = read_gadget_snapshot(str(full / "snapshot_004.hdf5"))
+    _b, _c, f_res = read_gadget_snapshot(str(half / "snapshot_004.hdf5"))
+    np.testing.assert_array_equal(
+        f_full["NeutralFractionH"], f_res["NeutralFractionH"])
+    np.testing.assert_array_equal(f_full["Density"], f_res["Density"])
