@@ -467,16 +467,20 @@ def make_voronoi_packets(grid: VoronoiGrid, position, direction, tau, weight):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
+@functools.partial(
+    jax.jit, static_argnames=("max_steps", "live_threshold"))
 def _trace_voronoi_jit(
-    neighbors, normals, offsets, shifts, chi, packets, tally, eps, max_steps
+    neighbors, normals, offsets, shifts, chi, packets, tally, eps, max_steps,
+    live_threshold=0,
 ):
     P = packets.pos.shape[0]
     tiny = jnp.asarray(1e-30, chi.dtype)
 
     def cond(carry):
         step, _, pk = carry
-        return jnp.logical_and(step < max_steps, jnp.any(pk.active))
+        return jnp.logical_and(
+            step < max_steps,
+            jnp.sum(pk.active, dtype=jnp.int32) > live_threshold)
 
     def body(carry):
         step, tly, pk = carry
@@ -559,6 +563,87 @@ def trace_packets_voronoi(
         chi_u, packets, tally, eps, max_steps,
     )
     return tally * grid.scale, packets
+
+
+def _compact_live_voronoi(pk: VoronoiPacketBatch, width: int):
+    """Sort live packets to the front and keep the first ``width`` rows.
+
+    The Voronoi counterpart of ops.traversal._compact_live: one packed
+    uint32 sort + row gathers, fully on-device.  Caller must guarantee the
+    live count is <= width (use _trace_voronoi_jit's live_threshold).
+    Absorbed flags are reset so each cascade stage counts only its own
+    absorptions.
+    """
+    n = pk.pos.shape[0]
+    iota = jax.lax.iota(jnp.uint32, n)
+    dead = (~pk.active).astype(jnp.uint32)
+    sorted_keys = jax.lax.sort((dead << 31) | iota)
+    perm = (sorted_keys & jnp.uint32(0x7FFFFFFF))[:width].astype(jnp.int32)
+    matf = jnp.concatenate(
+        [pk.pos, pk.dirn, pk.tau_left[:, None], pk.weight[:, None]], axis=1)
+    subf = matf[perm]
+    return VoronoiPacketBatch(
+        pos=subf[:, 0:3], dirn=subf[:, 3:6],
+        cell=pk.cell[perm],
+        tau_left=subf[:, 6], weight=subf[:, 7],
+        active=pk.active[perm],
+        absorbed=jnp.zeros(width, bool),
+    )
+
+
+def trace_packets_voronoi_cascade(
+    grid: VoronoiGrid,
+    chi_si: jnp.ndarray,
+    packets: VoronoiPacketBatch,
+    *,
+    max_steps: int = 0,
+    shrink: int = 3,
+    n_stages: int = 4,
+):
+    """Width-compacting cascade march over the cell graph.
+
+    The lockstep face-walk pays the full [P, K] neighbor-row gather every
+    iteration even as packets terminate; on a decaying survival curve
+    (every benchmark's) most iterations run nearly empty.  As in the
+    Cartesian ops.traversal.trace_packets_blocked_cascade, the march runs
+    as geometrically shrinking stages — march until the live count drops
+    to the next stage's width (device-side predicate, no host sync),
+    compact survivors to the front with a packed sort, slice statically,
+    continue.  Estimator-identical deposits.
+
+    Returns (tally_m [C], n_absorbed, n_escaped); per-packet final state
+    is NOT preserved (use trace_packets_voronoi when re-emission needs
+    the terminated batch).
+    """
+    C = grid.n_cells
+    n = packets.pos.shape[0]
+    if max_steps == 0:
+        max_steps = 16 * int(np.ceil(C ** (1.0 / 3.0))) + 64
+    chi_u = jnp.asarray(chi_si, jnp.float32) * grid.scale
+    tally = jnp.zeros(C, jnp.float32)
+    eps = jnp.float32(1e-5 / max(C ** (1.0 / 3.0), 1.0))
+    tables = (
+        jnp.asarray(grid.neighbors), jnp.asarray(grid.normals),
+        jnp.asarray(grid.offsets), jnp.asarray(grid.shifts),
+    )
+    widths = [n]
+    for _ in range(n_stages - 1):
+        w = widths[-1] // shrink
+        if w < 4096:
+            break
+        widths.append(w)
+    n_absorbed = jnp.zeros((), jnp.int32)
+    pk = packets
+    for si, width in enumerate(widths):
+        next_width = widths[si + 1] if si + 1 < len(widths) else 0
+        tally, pk = _trace_voronoi_jit(
+            *tables, chi_u, pk, tally, eps, max_steps,
+            live_threshold=next_width,
+        )
+        n_absorbed = n_absorbed + jnp.sum(pk.absorbed, dtype=jnp.int32)
+        if next_width:
+            pk = _compact_live_voronoi(pk, next_width)
+    return tally * grid.scale, n_absorbed, n - n_absorbed
 
 
 class SpectralVoronoiPacketBatch(NamedTuple):
@@ -1032,7 +1117,8 @@ class HOnlyVoronoiSimulation:
                     jnp.ones(self.n_photons, bool),
                     jnp.zeros(self.n_photons, bool),
                 )
-                tally, _ = trace_packets_voronoi(grid, chi_si, packets)
+                tally, _, _ = trace_packets_voronoi_cascade(
+                    grid, chi_si, packets)
             jH = tally * jfac
             self.neutral_fraction = ionization.hydrogen_neutral_fraction(
                 jH, self.number_density, self.alpha)

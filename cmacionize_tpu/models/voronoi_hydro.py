@@ -580,7 +580,7 @@ class VoronoiRHDSimulation:
     def _radiation(self, key):
         from cmacionize_tpu import constants
         from cmacionize_tpu.models.voronoi import (
-            VoronoiPacketBatch, trace_packets_voronoi,
+            VoronoiPacketBatch, trace_packets_voronoi_cascade,
         )
         from cmacionize_tpu.ops import ionization
 
@@ -633,7 +633,8 @@ class VoronoiRHDSimulation:
                     jnp.ones(self.n_photons, jnp.float32),
                     jnp.ones(self.n_photons, bool),
                     jnp.zeros(self.n_photons, bool))
-                tally, _ = trace_packets_voronoi(grid, chi_si, packets)
+                tally, _, _ = trace_packets_voronoi_cascade(
+                    grid, chi_si, packets)
             xh = ionization.hydrogen_neutral_fraction(
                 tally * jfac, nd, self.alpha)
         return xh

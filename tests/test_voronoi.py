@@ -318,3 +318,48 @@ class TestVoronoiRestart:
         np.testing.assert_array_equal(
             np.asarray(sim2.neutral_fraction),
             np.asarray(sim.neutral_fraction))
+
+
+class TestVoronoiCascade:
+    def test_cascade_matches_plain_trace(self):
+        """trace_packets_voronoi_cascade is estimator-identical to the
+        plain march: same deposits (fp-level accumulation order only),
+        same absorbed count, on a mixed absorb/escape workload."""
+        import jax
+
+        PC = 3.086e16
+        geometry = GridGeometry(
+            anchor=(-PC,) * 3, sides=(2 * PC,) * 3, shape=(16,) * 3)
+        rng = np.random.default_rng(5)
+        g = voronoi.build_voronoi_grid(geometry, rng.random((900, 3)))
+        # ionized bubble + neutral wall: packets cross many cells, then
+        # terminate over a narrow range (the production survival curve)
+        gen_si = g.generators * g.scale + np.asarray(geometry.anchor)
+        r = np.sqrt((gen_si**2).sum(1))
+        xh = np.where(r < 0.55 * PC, 1e-6, 1.0)
+        chi = jnp.asarray(3e5 * xh * 6.3e-22, jnp.float32)
+
+        P = 20000
+        key = jax.random.PRNGKey(1)
+        k1, k2 = jax.random.split(key)
+        d = jax.random.normal(k1, (P, 3))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        tau = -jnp.log(1 - jax.random.uniform(k2, (P,)))
+        src_u = (np.zeros(3) - np.asarray(geometry.anchor)) / g.scale
+        src_cell = int(g.locate(src_u)[0])
+        pk = voronoi.VoronoiPacketBatch(
+            jnp.tile(jnp.asarray(src_u, jnp.float32), (P, 1)),
+            d.astype(jnp.float32),
+            jnp.full(P, src_cell, jnp.int32), tau.astype(jnp.float32),
+            jnp.ones(P, jnp.float32), jnp.ones(P, bool),
+            jnp.zeros(P, bool))
+
+        tally_p, pk_out = voronoi.trace_packets_voronoi(g, chi, pk)
+        tally_c, n_abs, n_esc = voronoi.trace_packets_voronoi_cascade(
+            g, chi, pk, shrink=2, n_stages=3)
+        np.testing.assert_allclose(
+            np.asarray(tally_c), np.asarray(tally_p), rtol=1e-4,
+            atol=1e-6 * float(np.asarray(tally_p).max()))
+        assert int(n_abs) == int(np.asarray(pk_out.absorbed).sum())
+        assert int(n_abs) + int(n_esc) == P
+        assert int(n_esc) > 0  # workload genuinely mixes both outcomes
