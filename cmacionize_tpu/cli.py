@@ -36,7 +36,7 @@ def _write_snapshot(params, geometry, fields, time_value, log):
     while os.path.exists(name):
         counter += 1
         name = os.path.join(folder, f"{prefix}{counter:0{padding}d}.hdf5")
-    write_gadget_snapshot(name, geometry, fields, time_value)
+    write_gadget_snapshot(name, geometry, fields, time_value, params=params)
     log.status(f"wrote snapshot {name}")
     return name
 
@@ -406,7 +406,8 @@ def _run_rhd(params, log, seed, n_devices_flag=0, restart_folder=""):
 
     def write_numbered(sim_, index):
         name = os.path.join(folder, f"{prefix}{index:0{padding}d}.hdf5")
-        write_gadget_snapshot(name, geometry, grid_fields(sim_), sim_.time)
+        write_gadget_snapshot(
+            name, geometry, grid_fields(sim_), sim_.time, params=params)
         log.status(f"wrote snapshot {name} (t = {sim_.time:.6g} s)")
 
     statistics = None
@@ -556,7 +557,7 @@ def _run_rhd_voronoi(params, log, seed, n_dev=1, restart_folder=""):
                     np.asarray(sim.state.mom_z) * inv_rho], axis=-1),
                 "NeutralFractionH": np.asarray(sim.neutral_fraction),
                 "Volumes": np.asarray(sim.grid.volumes),
-            }, sim.time, coordinates=coords)
+            }, sim.time, coordinates=coords, params=params)
         log.status(f"wrote snapshot {name} (t = {sim.time:.6g} s)")
 
     from cmacionize_tpu.utils import signals

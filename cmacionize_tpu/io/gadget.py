@@ -27,6 +27,7 @@ def write_gadget_snapshot(
     fields: Dict[str, np.ndarray],
     time: float = 0.0,
     coordinates: np.ndarray = None,
+    params=None,
 ) -> None:
     """Write cell-centered fields to a Gadget-layout HDF5 snapshot.
 
@@ -39,6 +40,12 @@ def write_gadget_snapshot(
     reference's Gadget writer records whatever cell midpoints the grid
     iterator yields, GadgetDensityGridWriter.cpp:122-380).  Fields are then
     flat [C] / [C, 3] arrays.
+
+    params: optional utils.params.ParameterFile — its used values are
+    recorded as string attributes in a /Parameters group, alongside /Code
+    (framework + jax versions) and /RuntimePars (creation time), mirroring
+    the provenance groups the reference embeds in every snapshot
+    (GadgetDensityGridWriter.cpp:147-186).
     """
     import h5py
 
@@ -82,6 +89,27 @@ def write_gadget_snapshot(
                 "Unit temperature in cgs (U_T)": 1.0,
                 "Unit time in cgs (U_t)": 1.0,
             }[name]
+
+        # provenance groups (cf. GadgetDensityGridWriter.cpp:147-186)
+        import datetime
+        import sys as _sys
+
+        import jax as _jax
+
+        import cmacionize_tpu as _pkg
+
+        code = handle.create_group("Code")
+        code.attrs["Code"] = "cmacionize_tpu"
+        code.attrs["Code version"] = _pkg.__version__
+        code.attrs["jax version"] = _jax.__version__
+        code.attrs["Python version"] = _sys.version.split()[0]
+        runtime = handle.create_group("RuntimePars")
+        runtime.attrs["Creation time"] = (
+            datetime.datetime.now().isoformat(timespec="seconds"))
+        if params is not None:
+            pgroup = handle.create_group("Parameters")
+            for key, value in sorted(params.used_values().items()):
+                pgroup.attrs[key] = str(value)
 
         parts = handle.create_group("PartType0")
         parts.create_dataset("Coordinates", data=coordinates)
