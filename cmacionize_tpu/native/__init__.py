@@ -36,6 +36,36 @@ def build(force: bool = False) -> bool:
         return False
 
 
+def build_cmi(force: bool = False):
+    """Compile the CMILibrary-compatible C ABI shim → libcmi_tpu.so.
+
+    The shim (cmi_c_library.c) embeds CPython and forwards the reference's
+    cmi_* C API (/root/reference/src/CMILibrary.hpp:46-70) into
+    cmacionize_tpu.cmi.  Returns the shared-library path, or None when no
+    C toolchain / embedding flags are available.
+    """
+    src = os.path.join(_HERE, "cmi_c_library.c")
+    out = os.path.join(_HERE, "libcmi_tpu.so")
+    if os.path.exists(out) and not force:
+        if os.path.getmtime(out) >= os.path.getmtime(src):
+            return out
+    try:
+        includes = subprocess.run(
+            ["python3-config", "--includes"],
+            check=True, capture_output=True, text=True).stdout.split()
+        ldflags = subprocess.run(
+            ["python3-config", "--ldflags", "--embed"],
+            check=True, capture_output=True, text=True).stdout.split()
+        subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", src]
+            + includes + ldflags + ["-o", out],
+            check=True, capture_output=True,
+        )
+        return out
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
 def load():
     """Load (building if needed) the native library; None on failure."""
     global _lib, _load_attempted
