@@ -156,7 +156,8 @@ def _run_ionization(params, log, seed, n_devices_flag=0):
             log.status(
                 f"placed {cell_trackers.n_track} tracker(s) from "
                 + params.get_string("TrackerManager:filename"))
-        xion, temperature = sim.run()
+        xion, temperature = sim.run(
+            restart_manager=_optional_restart_manager(params))
         if cell_trackers is not None:
             from cmacionize_tpu.models import ions as ions_mod
 
@@ -191,7 +192,7 @@ def _run_ionization(params, log, seed, n_devices_flag=0):
                 config, tiling=tiling, log=log, seed=seed)
         else:
             sim = HOnlyIonizationSimulation(config, log=log, seed=seed)
-        xh = sim.run()
+        xh = sim.run(restart_manager=_optional_restart_manager(params))
         fields = {
             "NumberDensity": np.asarray(sim.number_density),
             "Temperature": np.full(config.geometry.shape, config.temperature),
@@ -292,7 +293,9 @@ def _run_ionization_special_grid(params, log, seed, grid_type, mesh=None):
                 seed=seed,
                 mesh=mesh,
             )
-            xh = np.asarray(sim.run(config.n_iterations))
+            xh = np.asarray(sim.run(
+                config.n_iterations,
+                restart_manager=_optional_restart_manager(params)))
             n_cells, lvl = sim.grid.n_cells, sim.grid.max_level
             log.status(f"ionized volume {sim.ionized_volume():.4g} m^3")
         log.status(f"AMR grid: {n_cells} leaves (max level {lvl})")
@@ -326,12 +329,23 @@ def _run_ionization_special_grid(params, log, seed, grid_type, mesh=None):
                 seed=seed,
                 mesh=mesh,
             )
-            xh = np.asarray(sim.run(config.n_iterations))
+            xh = np.asarray(sim.run(
+                config.n_iterations,
+                restart_manager=_optional_restart_manager(params)))
             log.status(f"ionized volume {sim.ionized_volume():.4g} m^3")
         log.status(f"Voronoi grid: {grid.n_cells} cells")
     out = params.get_string("DensityGridWriter:prefix", "snapshot_") +         "cells.npz"
     np.savez(out, neutral_fraction=xh, **extra_fields)
     log.status(f"wrote per-cell neutral fractions -> {out}")
+
+
+def _optional_restart_manager(params):
+    """Opt-in RestartManager for the ionization modes (the reference's
+    classic driver checkpoints only when configured; RHD always does)."""
+    if (params.has_value("RestartManager:path")
+            or params.has_value("RestartManager:output interval")):
+        return _restart_manager_from_params(params)
+    return None
 
 
 def _restart_manager_from_params(params, default_path="."):
