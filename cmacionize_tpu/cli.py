@@ -272,7 +272,9 @@ def _run_ionization_special_grid(params, log, seed, grid_type, mesh=None):
                 geometry, scheme, density_callable, max_level=max_level)
             sim = amr.MultiFreqAMRSimulation(
                 grid, density_callable, **mf_kwargs)
-            xion, T = sim.run(config.n_iterations)
+            xion, T = sim.run(
+                config.n_iterations,
+                restart_manager=_optional_restart_manager(params))
             xh = np.clip(np.asarray(xion["H_n"]), 0, 1)
             extra_fields = {
                 "temperature": np.asarray(T),
@@ -311,7 +313,9 @@ def _run_ionization_special_grid(params, log, seed, grid_type, mesh=None):
         if multi_element:
             sim = voronoi.MultiFreqVoronoiSimulation(
                 grid, density_callable, **mf_kwargs)
-            xion, T = sim.run(config.n_iterations)
+            xion, T = sim.run(
+                config.n_iterations,
+                restart_manager=_optional_restart_manager(params))
             xh = np.clip(np.asarray(xion["H_n"]), 0, 1)
             extra_fields = {
                 "temperature": np.asarray(T),

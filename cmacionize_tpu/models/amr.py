@@ -770,7 +770,7 @@ class MultiFreqAMRSimulation:
         self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
         self.iteration = int(scalars["iteration"])
 
-    def run(self, n_iterations: int):
+    def run(self, n_iterations: int, restart_manager=None):
         from cmacionize_tpu import constants
         from cmacionize_tpu.models import ions, sources
         from cmacionize_tpu.models import reemission as reemission_mod
@@ -778,7 +778,10 @@ class MultiFreqAMRSimulation:
             solve_cell_state,
         )
         from cmacionize_tpu.ops import traversal
+        from cmacionize_tpu.utils import signals
 
+        if restart_manager is not None:
+            signals.install()
         grid = self.grid
         C = grid.n_cells
         fine_shape = grid.fine_shape
@@ -932,6 +935,15 @@ class MultiFreqAMRSimulation:
                 jax.device_put(jax.device_get(self.temperature), cpu),
                 self.abundances, do_temp)
             self.iteration += 1
+            if restart_manager is not None:
+                stopping = (
+                    signals.stop_requested() or restart_manager.want_stop()
+                )
+                if restart_manager.due() or stopping:
+                    self.write_restart(restart_manager)
+                if stopping:
+                    restart_manager.on_stop()
+                    break
         return self.xion, self.temperature
 
 
