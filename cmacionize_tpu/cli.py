@@ -615,7 +615,7 @@ def _run_rhd_voronoi(params, log, seed, n_dev=1, restart_folder=""):
         f"at t = {sim.time:.6g} s")
 
 
-def _run_dust(params, log, seed):
+def _run_dust(params, log, seed, n_devices_flag=0):
     """Dust-scattering RT producing a CCD image (``--dusty-radiative-transfer``).
 
     Parameter layout follows the reference's DustSimulation mode
@@ -696,7 +696,15 @@ def _run_dust(params, log, seed):
             ).tofile(path)
             log.status(f"wrote CCD plane {path}")
     else:
-        image = sim.run()
+        mesh = None
+        n_dev, _tiling = _parallel_config(params, n_devices_flag)
+        if n_dev > 1:
+            from cmacionize_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_dev, axis_names=("ph",))
+            log.status(
+                f"photon data parallelism: {n_dev} devices (dust RT)")
+        image = sim.run(mesh=mesh)
         path = os.path.join(folder, f"{name}.dat")
         # BinaryArray layout: raw row-major doubles (CCDImage.hpp:299-356)
         _np.asarray(image, dtype=_np.float64).tofile(path)
@@ -813,7 +821,7 @@ def main(argv=None):
         _run_rhd(params, log, args.seed, n_devices_flag=args.devices,
                  restart_folder=args.restart)
     elif args.dusty_radiative_transfer:
-        _run_dust(params, log, args.seed)
+        _run_dust(params, log, args.seed, n_devices_flag=args.devices)
     elif args.emission:
         _run_emission(params, log, args.file)
     else:

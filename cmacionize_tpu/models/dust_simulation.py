@@ -295,7 +295,91 @@ class DustSimulation:
         )
         return px * npy + py
 
-    def run(self):
+    def _mc_image(self, key, n, weight_norm):
+        """One MC image batch of ``n`` photons, each of weight
+        1/``weight_norm`` — the pure core of :meth:`run`: a FIXED
+        ``n_scatterings`` generation loop with no host readbacks or
+        logging, so it runs unchanged inside ``shard_map`` (photon DP)."""
+        cfg = self.config
+        shape = cfg.geometry.shape
+        ccd = jnp.zeros(cfg.ccd_pixels[0] * cfg.ccd_pixels[1], jnp.float32)
+        obs = np.asarray(cfg.observer_direction, dtype=np.float32)
+        obs = obs / np.linalg.norm(obs)
+
+        from cmacionize_tpu.models import sources as src_mod
+
+        key, key_emit, key_dir, key_tau = jax.random.split(key, 4)
+        gpos, valid = self._emit(key_emit, n)
+        dx_, dy_, dz_ = src_mod.isotropic_directions(key_dir, n)
+        weight = jnp.where(valid, 1.0 / weight_norm, 0.0).astype(jnp.float32)
+        tau_obs = self._peel_off_tau(gpos)
+        pix = self._ccd_pixel(gpos)
+        ccd = ccd.at[pix].add(weight / (4.0 * np.pi) * jnp.exp(-tau_obs))
+
+        tau = src_mod.sample_tau_targets(key_tau, n)
+        packets = traversal.make_packets(
+            gpos, jnp.stack([dx_, dy_, dz_], 1), tau, weight, shape
+        )
+        packets = packets._replace(active=valid)
+        for gen in range(cfg.n_scatterings):
+            tally = jnp.zeros(int(np.prod(shape)), jnp.float32)
+            _, pk = traversal.trace_packets(
+                self.chi, packets, tally, shape=shape,
+                periodic=cfg.geometry.periodic,
+            )
+            key, k2, k3, k4 = jax.random.split(key, 4)
+            scattered = pk.absorbed
+            cos_scat = henyey_greenstein_cos(k2, cfg.hgg, n)
+            ndx, ndy, ndz = _rotate_to_new_direction(
+                k3, pk.dx, pk.dy, pk.dz, cos_scat
+            )
+            event_pos = jnp.stack([pk.px, pk.py, pk.pz], 1)
+            cos_obs = pk.dx * obs[0] + pk.dy * obs[1] + pk.dz * obs[2]
+            phase = henyey_greenstein_phase(cos_obs, cfg.hgg)
+            tau_obs = self._peel_off_tau(event_pos)
+            pix = self._ccd_pixel(event_pos)
+            contribution = jnp.where(
+                scattered,
+                pk.weight * cfg.albedo * phase * jnp.exp(-tau_obs), 0.0
+            )
+            ccd = ccd.at[pix].add(contribution)
+            new_tau = src_mod.sample_tau_targets(k4, n)
+            packets = traversal.make_packets(
+                event_pos, jnp.stack([ndx, ndy, ndz], 1),
+                new_tau, pk.weight * cfg.albedo, shape,
+            )
+            packets = packets._replace(active=scattered)
+        return ccd
+
+    def _run_dp(self, mesh):
+        """Photon-DP dust RT: replicated density/CCD geometry, per-device
+        photon shares, CCD images psum'd — the mesh counterpart of the
+        reference's photon-chunk job market for this mode
+        (/root/reference/src/DustPhotonShootJob.hpp)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.config
+        n_dev = int(mesh.devices.size)
+        per_dev = -(-cfg.n_photons // n_dev)
+
+        def device_image(keys):
+            return jax.lax.psum(
+                self._mc_image(keys[0], per_dev, per_dev * n_dev), "ph")
+
+        fn = jax.jit(shard_map(
+            device_image, mesh=mesh, in_specs=P("ph"), out_specs=P(),
+            check_vma=False))
+        keys = jax.random.split(self.key, n_dev + 1)
+        self.key = keys[0]
+        ccd = fn(keys[1:])
+        self.log.info(
+            f"dust DP: {n_dev} devices x {per_dev} photons")
+        return np.asarray(ccd).reshape(cfg.ccd_pixels)
+
+    def run(self, mesh=None):
+        if mesh is not None:
+            return self._run_dp(mesh)
         cfg = self.config
         shape = cfg.geometry.shape
         n = cfg.n_photons

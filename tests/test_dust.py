@@ -104,3 +104,35 @@ def test_peel_off_tau_nonzero_through_opaque_disc():
     # numeric integral along the observer direction gives ~5.3 at 201^3
     # resolution; the coarse 64^3 grid resolves it to tens of percent
     assert 2.0 < tau < 10.0, tau
+
+
+def test_dust_dp_matches_single_device():
+    """Photon-DP dust RT (CCD images psum'd over the mesh) agrees with the
+    single-device run to MC noise on total flux and image structure."""
+    from cmacionize_tpu.parallel.mesh import make_mesh
+
+    geometry = GridGeometry(
+        anchor=(-10 * KPC, -10 * KPC, -5 * KPC),
+        sides=(20 * KPC, 20 * KPC, 10 * KPC),
+        shape=(32, 32, 16),
+    )
+    config = DustConfig(
+        geometry=geometry,
+        dust_central_density=2e-21,
+        dust_scale_radius=5 * KPC,
+        dust_scale_height=0.3 * KPC,
+        stellar_scale_radius=4 * KPC,
+        stellar_scale_height=0.25 * KPC,
+        n_photons=40000,
+        n_scatterings=2,
+        ccd_pixels=(32, 32),
+    )
+    img1 = DustSimulation(config, seed=3).run()
+    img8 = DustSimulation(config, seed=3).run(mesh=make_mesh(8))
+    assert img8.shape == img1.shape
+    assert np.all(np.isfinite(img8))
+    assert img8.sum() == pytest.approx(img1.sum(), rel=0.05)
+    # same structure (smoothed correlation over the bright region)
+    a, b = img1.ravel(), img8.ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95
